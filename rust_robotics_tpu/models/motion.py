@@ -22,15 +22,13 @@ def unicycle_propagate(state, control, dt):
     """State [..., 4], control [..., 2] -> next state [..., 4]. `ekf.rs:203`."""
     x, y, yaw = state[..., 0], state[..., 1], state[..., 2]
     v, omega = control[..., 0], control[..., 1]
-    return jnp.stack(
-        [
-            x + dt * v * jnp.cos(yaw),
-            y + dt * v * jnp.sin(yaw),
-            yaw + dt * omega,
-            v,
-        ],
-        axis=-1,
+    parts = jnp.broadcast_arrays(
+        x + dt * v * jnp.cos(yaw),
+        y + dt * v * jnp.sin(yaw),
+        yaw + dt * omega,
+        v,
     )
+    return jnp.stack(parts, axis=-1)
 
 
 def unicycle_jacobian(state, control, dt):
