@@ -34,6 +34,11 @@ import jax.numpy as jnp
 from rust_robotics_tpu.core.types import GaussianBelief
 from rust_robotics_tpu.models.motion import unicycle_jacobian, unicycle_propagate
 from rust_robotics_tpu.models.observation import position_jacobian, position_observe
+from rust_robotics_tpu.ops.smallmat import (
+    cholesky_small,
+    inv_spd_small,
+    solve_spd_small,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,8 +91,10 @@ def _mT(a):
 
 
 def _sym_solve(s, b):
-    """Solve s @ x = b for symmetric s on trailing dims (batched)."""
-    return jnp.linalg.solve(s, b)
+    """Solve s @ x = b for SPD s on trailing dims (batched). Closed-form for
+    n <= 4 — generic linalg.solve on tiny batched matrices is catastrophic
+    on TPU (minutes of compile, scalar-bound run)."""
+    return solve_spd_small(s, b)
 
 
 # ---------------------------------------------------------------------------
@@ -125,6 +132,24 @@ def ekf_step(belief, measurement, control, dt, q, r, model=None):
     model = model or unicycle_position_model()
     pred = ekf_predict(belief, control, dt, q, model)
     return ekf_update(pred, measurement, r, model)
+
+
+def ekf_step_with_innovation(belief, measurement, control, dt, q, r, model=None):
+    """EKF step that also returns the innovation y and its covariance S —
+    the sufficient statistics for the innovation likelihood (used by the
+    adaptive NIS filter, adaptive_filter.rs:26-170, and by gradient-based
+    noise identification)."""
+    model = model or unicycle_position_model()
+    pred = ekf_predict(belief, control, dt, q, model)
+    h = model.obs_jac(pred.mean)
+    y = measurement - model.observe(pred.mean)
+    pht = pred.cov @ _mT(h)
+    s = h @ pht + r
+    k = _mT(_sym_solve(s, _mT(pht)))
+    mean = pred.mean + (k @ y[..., None])[..., 0]
+    n = pred.mean.shape[-1]
+    cov = (jnp.eye(n, dtype=pred.cov.dtype) - k @ h) @ pred.cov
+    return GaussianBelief(mean, cov), y, s
 
 
 # ---------------------------------------------------------------------------
@@ -178,7 +203,7 @@ def ukf_weights(n: int, alpha=1e-3, beta=2.0, kappa=0.0, dtype=jnp.float32):
 def _sigma_points(mean, cov, gamma):
     """2n+1 sigma points via Cholesky of P (ukf :322-341). [..., 2n+1, n]."""
     n = mean.shape[-1]
-    chol = jnp.linalg.cholesky(cov)  # lower
+    chol = cholesky_small(cov)  # lower
     offsets = gamma * _mT(chol)  # rows are gamma * column_i(L)
     center = mean[..., None, :]
     return jnp.concatenate(
@@ -228,7 +253,7 @@ def ckf_step(belief, measurement, control, dt, q, r, model=None):
     sqrt_n = jnp.sqrt(jnp.asarray(float(n), dtype=belief.mean.dtype))
 
     def cubature(mean, cov):
-        chol = jnp.linalg.cholesky(cov)
+        chol = cholesky_small(cov)
         offsets = sqrt_n * _mT(chol)
         center = mean[..., None, :]
         return jnp.concatenate([center + offsets, center - offsets], axis=-2)
@@ -267,11 +292,11 @@ def information_step(belief, measurements, control, dt, q, r, model=None):
     """
     model = model or unicycle_position_model()
     pred = ekf_predict(belief, control, dt, q, model)
-    lam = jnp.linalg.inv(pred.cov)
+    lam = inv_spd_small(pred.cov)
     eta = (lam @ pred.mean[..., None])[..., 0]
     h = model.obs_jac(pred.mean)
     z_pred = model.observe(pred.mean)
-    r_inv = jnp.linalg.inv(r)
+    r_inv = inv_spd_small(r)
     ht_rinv = _mT(h) @ r_inv
 
     def add_sensor(carry, z):
@@ -283,7 +308,7 @@ def information_step(belief, measurements, control, dt, q, r, model=None):
 
     zs = jnp.moveaxis(measurements, -2, 0)
     (lam, eta), _ = jax.lax.scan(add_sensor, (lam, eta), zs)
-    cov = jnp.linalg.inv(lam)
+    cov = inv_spd_small(lam)
     mean = (cov @ eta[..., None])[..., 0]
     return GaussianBelief(mean, cov)
 

@@ -1,0 +1,6 @@
+from rust_robotics_tpu.ops.smallmat import (  # noqa: F401
+    cholesky_small,
+    det_small,
+    inv_spd_small,
+    solve_spd_small,
+)

@@ -1,0 +1,190 @@
+"""NLLS engine tests: dense/PCG/Schur agreement, robust kernels, manifolds."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rust_robotics_tpu.nlls import (
+    FactorBlock,
+    Problem,
+    RobustKernel,
+    SolverConfig,
+    VariableGroup,
+    solve,
+)
+
+
+def quadratic_problem(noise_key=0, outliers=False):
+    """Fit y = a x² + b x + c; one 3-vector parameter variable."""
+    rng = np.random.default_rng(noise_key)
+    xs = np.linspace(-2, 2, 40)
+    true = np.array([0.7, -1.3, 0.5])
+    ys = true[0] * xs**2 + true[1] * xs + true[2] + 0.01 * rng.normal(size=xs.shape)
+    if outliers:
+        ys[::7] += 30.0
+    params = VariableGroup("theta", jnp.zeros((1, 3)))
+
+    def residual(theta, m):
+        x, y = m
+        return jnp.array([theta[0] * x**2 + theta[1] * x + theta[2] - y])
+
+    f = FactorBlock(
+        "fit",
+        residual,
+        groups=("theta",),
+        indices=jnp.zeros((len(xs), 1), dtype=jnp.int32),
+        measurement=(jnp.asarray(xs), jnp.asarray(ys)),
+        robust=RobustKernel("huber", delta=0.1) if outliers else RobustKernel(),
+    )
+    return Problem((params,), (f,)), true
+
+
+def test_dense_converges_to_lstsq():
+    prob, true = quadratic_problem()
+    solved, summary = solve(prob, SolverConfig(method="gn", max_iterations=5))
+    np.testing.assert_allclose(
+        np.asarray(solved.groups[0].values[0]), true, atol=0.02
+    )
+    assert summary.final_cost < summary.initial_cost
+
+
+def test_lm_converges():
+    prob, true = quadratic_problem()
+    solved, summary = solve(prob, SolverConfig(method="lm"))
+    np.testing.assert_allclose(
+        np.asarray(solved.groups[0].values[0]), true, atol=0.02
+    )
+    assert summary.termination in ("cost_converged", "gradient_converged",
+                                   "step_converged")
+
+
+def test_huber_rejects_outliers():
+    prob, true = quadratic_problem(outliers=True)
+    solved, _ = solve(prob, SolverConfig())
+    np.testing.assert_allclose(
+        np.asarray(solved.groups[0].values[0]), true, atol=0.05
+    )
+    prob_l2, _ = quadratic_problem(outliers=True)
+    prob_l2 = Problem(
+        prob_l2.groups,
+        (jax.tree_util.tree_map(lambda x: x, prob_l2.factors[0]),)
+        if False
+        else ( # rebuild with l2 kernel
+            FactorBlock(
+                "fit",
+                prob_l2.factors[0].residual,
+                groups=("theta",),
+                indices=prob_l2.factors[0].indices,
+                measurement=prob_l2.factors[0].measurement,
+                robust=RobustKernel("l2"),
+            ),
+        ),
+    )
+    solved_l2, _ = solve(prob_l2, SolverConfig())
+    err_huber = np.abs(np.asarray(solved.groups[0].values[0]) - true).max()
+    err_l2 = np.abs(np.asarray(solved_l2.groups[0].values[0]) - true).max()
+    assert err_huber < err_l2
+
+
+def chain_problem(fix_first=True):
+    """1D pose chain: 5 scalar positions, odometry + loop closure."""
+    n = 5
+    vals = jnp.zeros((n, 1))
+    fixed = jnp.zeros((n,), dtype=bool).at[0].set(fix_first)
+    poses = VariableGroup("x", vals, fixed_mask=fixed)
+
+    def odo(a, b, m):
+        return b - a - m
+
+    idx = jnp.array([[i, i + 1] for i in range(n - 1)], dtype=jnp.int32)
+    meas = jnp.ones((n - 1, 1))
+    f1 = FactorBlock("odo", odo, ("x", "x"), idx, measurement=meas)
+
+    def prior(a, m):
+        return a - m
+
+    f2 = FactorBlock(
+        "loop", prior, ("x",),
+        jnp.array([[n - 1]], dtype=jnp.int32),
+        measurement=jnp.array([[3.6]]),
+    )
+    return Problem((poses,), (f1, f2))
+
+
+def test_fixed_variable_stays_fixed():
+    prob = chain_problem()
+    solved, _ = solve(prob, SolverConfig(method="gn", max_iterations=10))
+    x = np.asarray(solved.groups[0].values)[:, 0]
+    assert x[0] == 0.0
+    # odometry says spacing 1, loop prior pulls last to 3.6 -> compromise
+    assert 3.6 < x[-1] + 0.3 and x[-1] < 4.0
+
+
+def test_pcg_matches_dense():
+    prob = chain_problem()
+    s_dense, _ = solve(prob, SolverConfig(method="gn", max_iterations=10))
+    s_pcg, _ = solve(
+        prob,
+        SolverConfig(method="gn", max_iterations=10, linear_solver="pcg"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_dense.groups[0].values),
+        np.asarray(s_pcg.groups[0].values),
+        atol=1e-7,
+    )
+
+
+def test_schur_matches_dense():
+    """Two groups (cameras-like 'a', landmarks-like 'b'); eliminate 'b'."""
+    rng = np.random.default_rng(3)
+    na, nb = 3, 6
+    a = VariableGroup("a", jnp.asarray(rng.normal(size=(na, 2))))
+    b = VariableGroup("b", jnp.asarray(rng.normal(size=(nb, 2))))
+    pairs = np.array([[i, j] for i in range(na) for j in range(nb)], dtype=np.int32)
+    meas = jnp.asarray(rng.normal(size=(len(pairs), 2)))
+
+    def residual(ai, bj, m):
+        return ai - bj - m
+
+    f = FactorBlock("rel", residual, ("a", "b"), jnp.asarray(pairs), measurement=meas)
+    prior = FactorBlock(
+        "anchor",
+        lambda ai, m: ai - m,
+        ("a",),
+        jnp.array([[0]], dtype=jnp.int32),
+        measurement=jnp.zeros((1, 2)),
+    )
+    prob = Problem((a, b), (f, prior))
+    s_dense, _ = solve(prob, SolverConfig(method="gn", max_iterations=8))
+    s_schur, _ = solve(
+        prob, SolverConfig(method="gn", max_iterations=8, linear_solver="schur")
+    )
+    for g in range(2):
+        np.testing.assert_allclose(
+            np.asarray(s_dense.groups[g].values),
+            np.asarray(s_schur.groups[g].values),
+            atol=1e-9,
+        )
+
+
+def test_manifold_angle_retraction():
+    from rust_robotics_tpu.core.angles import normalize_angle
+
+    def retract(v, d):
+        return jnp.array([normalize_angle(v[0] + d[0])])
+
+    angles = VariableGroup("ang", jnp.array([[3.0]]), retract=retract)
+
+    def res(a, m):
+        return jnp.array([normalize_angle(a[0] - m[0])])
+
+    f = FactorBlock(
+        "prior", res, ("ang",),
+        jnp.array([[0]], dtype=jnp.int32),
+        measurement=jnp.array([[-3.0]]),
+    )
+    solved, _ = solve(Problem((angles,), (f,)), SolverConfig())
+    # shortest way from 3.0 to -3.0 wraps through pi
+    val = float(solved.groups[0].values[0, 0])
+    assert abs(normalize_angle(val - (-3.0))) < 1e-6
+    assert abs(val) > 3.0 or abs(normalize_angle(val + 3.0)) < 1e-6
