@@ -88,14 +88,25 @@ def so3_exp(phi):
 
 
 def so3_log(rot):
-    """Rotation [..., 3, 3] -> axis-angle [..., 3]. `lie.rs:57`."""
+    """Rotation [..., 3, 3] -> axis-angle [..., 3]. `lie.rs:57`.
+
+    Gradient-safe at the identity (the arccos form has d(arccos)/dx → ∞ at
+    x=1, which poisons Gauss-Newton Jacobians exactly when residuals reach
+    zero): theta comes from atan2(|antisym|/2, cos) with a Taylor branch for
+    tiny angles.
+    """
     trace = rot[..., 0, 0] + rot[..., 1, 1] + rot[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    # vee of the antisymmetric part, scaled by theta / (2 sin theta)
+    # vee of the antisymmetric part = 2 sin(theta) * axis
     w = unskew(rot - jnp.swapaxes(rot, -1, -2))
-    scale = _safe_div(theta, 2.0 * jnp.sin(theta), 0.5 + theta**2 / 12.0)
-    near_pi = theta > jnp.pi - 1e-4
+    s2 = 0.25 * jnp.sum(w * w, axis=-1)  # sin²(theta)
+    small = (s2 < 1e-14) & (cos_theta > 0.0)
+    # safe sin: 1 on the small branch so sqrt/atan2/divide all stay
+    # differentiable; those lanes take the Taylor scale anyway (and w ≈ 0)
+    sin_theta = jnp.sqrt(jnp.where(small, jnp.ones_like(s2), s2))
+    theta = jnp.arctan2(sin_theta, cos_theta)
+    scale = jnp.where(small, 0.5 + s2 / 12.0, theta / (2.0 * sin_theta))
+    near_pi = cos_theta < jnp.cos(jnp.pi - 1e-4)
     # Near pi the antisymmetric part vanishes; recover axis from the
     # symmetric part: R + I ~ 2 (I + phi phi^T / theta^2) - ... use diagonal.
     diag = jnp.stack([rot[..., 0, 0], rot[..., 1, 1], rot[..., 2, 2]], axis=-1)

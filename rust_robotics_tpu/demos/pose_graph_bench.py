@@ -1,0 +1,66 @@
+"""Deterministic pose-graph benchmark generator.
+
+Exact reproduction of the reference's benchmark problem
+(crates/rust_robotics/examples/benchmark_large_pose_graph.rs:19-56): a
+sinusoidal ground-truth chain, deterministic sinusoid perturbations on the
+initial guess, odometry edges (info 100·I) plus loop edges every 100 poses
+(info 20·I). RMSE acceptance < 5e-3 (:97), PCG config max 3000 iters tol
+1e-5 with LM max 25 iters tol 1e-8 (:66-75) for the 1k/5k/10k table
+(README.md:722-730).
+"""
+
+import numpy as np
+
+
+def relative(a, b):
+    """benchmark_large_pose_graph.rs:11-16 (yaw left unwrapped, as in ref)."""
+    s, c = np.sin(a[2]), np.cos(a[2])
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    return np.array([c * dx + s * dy, -s * dx + c * dy, b[2] - a[2]])
+
+
+def synthesize_chain(size: int):
+    """Returns (truth [N,3], initial [N,3], edges_from, edges_to,
+    measurements [E,3], information [E,3,3])."""
+    i = np.arange(size, dtype=np.float64)
+    x = i * 0.05
+    truth = np.stack(
+        [x, 2.0 * np.sin(x * 0.015), 0.03 * np.cos(x * 0.015)], axis=-1
+    )
+    phase = i
+    initial = truth + np.stack(
+        [
+            0.02 * np.sin(phase * 0.013),
+            0.03 * np.cos(phase * 0.021),
+            0.005 * np.sin(phase * 0.017),
+        ],
+        axis=-1,
+    )
+    initial[0] = truth[0]
+
+    ef, et, meas, info = [], [], [], []
+    for f in range(size - 1):
+        ef.append(f)
+        et.append(f + 1)
+        meas.append(relative(truth[f], truth[f + 1]))
+        info.append(np.eye(3) * 100.0)
+    for f in range(0, max(size - 100, 0), 100):
+        ef.append(f)
+        et.append(f + 100)
+        meas.append(relative(truth[f], truth[f + 100]))
+        info.append(np.eye(3) * 20.0)
+    return (
+        truth,
+        initial,
+        np.array(ef, dtype=np.int32),
+        np.array(et, dtype=np.int32),
+        np.stack(meas),
+        np.stack(info),
+    )
+
+
+def rmse(poses, truth):
+    """benchmark_large_pose_graph.rs:77-89: sqrt(mean over poses of summed
+    squared (x, y, yaw) errors)."""
+    d = np.asarray(poses) - truth
+    return float(np.sqrt(np.mean(np.sum(d**2, axis=-1))))

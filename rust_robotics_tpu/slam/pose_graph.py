@@ -1,0 +1,164 @@
+"""SE(2) / SE(3) pose-graph optimization on the shared NLLS engine.
+
+Reference:
+- SE(2): slam/src/pose_graph_optimization.rs — additive+wrap retraction
+  (:167), edge residual r = [R_ijᵀ(R_iᵀ(t_j−t_i) − t_ij);
+  wrap(yaw_j − yaw_i − yaw_ij)] (:178-200), first pose fixed (:100-103), LM
+  with per-config tolerances (:113-121).
+- SE(3): slam/src/pose_graph_optimization_3d.rs — nodes stored as tangent
+  6-vectors (:14-35), right-multiplicative retraction, residual
+  r = log(Z⁻¹ X_i⁻¹ X_j) (:155-157), analytic Jacobians −J_l⁻¹(r)Ad(Z⁻¹)
+  and J_l⁻¹(−r) (:134-151).
+
+TPU-native: edges of each graph form ONE factor block (vmapped residual);
+Jacobians come from jacfwd through the retraction, which reproduces the
+reference's analytic forms exactly (same first-order perturbation
+convention). All E edges linearize in parallel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from rust_robotics_tpu.core.angles import normalize_angle
+from rust_robotics_tpu.core.lie import (
+    se3_exp,
+    se3_inverse,
+    se3_log,
+)
+from rust_robotics_tpu.nlls import (
+    FactorBlock,
+    Problem,
+    SolverConfig,
+    VariableGroup,
+    solve,
+)
+
+
+# ---------------------------------------------------------------------------
+# SE(2)
+# ---------------------------------------------------------------------------
+
+def se2_retract(value, delta):
+    """pose_graph_optimization.rs:167: additive with yaw wrap."""
+    return jnp.stack(
+        [
+            value[0] + delta[0],
+            value[1] + delta[1],
+            normalize_angle(value[2] + delta[2]),
+        ]
+    )
+
+
+def se2_edge_residual(xi, xj, meas):
+    """pose_graph_optimization.rs:178-200 edge error."""
+    c, s = jnp.cos(xi[2]), jnp.sin(xi[2])
+    r_i_t = jnp.array([[c, s], [-s, c]])
+    cm, sm = jnp.cos(meas[2]), jnp.sin(meas[2])
+    r_ij_t = jnp.array([[cm, sm], [-sm, cm]])
+    delta_t = xj[:2] - xi[:2]
+    te = r_ij_t @ (r_i_t @ delta_t - meas[:2])
+    ang = normalize_angle(xj[2] - xi[2] - meas[2])
+    return jnp.concatenate([te, ang[None]])
+
+
+def build_pose_graph_2d(poses, edges_from, edges_to, measurements,
+                        information=None, fix_first=True):
+    """poses [N, 3]; edges_* [E]; measurements [E, 3];
+    information [E, 3, 3] (default identity)."""
+    n = poses.shape[0]
+    fixed = jnp.zeros((n,), dtype=bool).at[0].set(fix_first)
+    group = VariableGroup("pose", jnp.asarray(poses), retract=se2_retract,
+                          fixed_mask=fixed)
+    idx = jnp.stack(
+        [jnp.asarray(edges_from, jnp.int32), jnp.asarray(edges_to, jnp.int32)],
+        axis=-1,
+    )
+    block = FactorBlock(
+        "se2_edge",
+        se2_edge_residual,
+        ("pose", "pose"),
+        idx,
+        measurement=jnp.asarray(measurements),
+        information=None if information is None else jnp.asarray(information),
+    )
+    return Problem((group,), (block,))
+
+
+def optimize_pose_graph_2d(poses, edges_from, edges_to, measurements,
+                           information=None, max_iterations=50,
+                           tolerance=1e-10, linear_solver="dense"):
+    """optimize_pose_graph (pose_graph_optimization.rs:73-140): LM, first
+    pose fixed; tolerances mapped as the reference maps PoseGraphConfig.
+    Returns (poses [N, 3], SolverSummary)."""
+    prob = build_pose_graph_2d(poses, edges_from, edges_to, measurements,
+                               information)
+    cfg = SolverConfig(
+        method="lm",
+        max_iterations=max(max_iterations, 1),
+        gradient_tolerance=tolerance,
+        step_tolerance=tolerance,
+        cost_tolerance=tolerance * tolerance,
+        linear_solver=linear_solver,
+    )
+    solved, summary = solve(prob, cfg)
+    return solved.groups[0].values, summary
+
+
+# ---------------------------------------------------------------------------
+# SE(3)
+# ---------------------------------------------------------------------------
+
+def se3_retract(value, delta):
+    """Right-multiplicative tangent update: log(exp(v) · exp(δ))
+    (pose_graph_optimization_3d.rs tangent storage + right perturbation)."""
+    return se3_log(se3_exp(value) @ se3_exp(delta))
+
+
+def se3_edge_residual(xi, xj, meas_tangent):
+    """r = log(Z⁻¹ · X_i⁻¹ · X_j) (pose_graph_optimization_3d.rs:155-157).
+    Measurement passed as tangent [6] for a uniform block array."""
+    z = se3_exp(meas_tangent)
+    return se3_log(se3_inverse(z) @ se3_inverse(se3_exp(xi)) @ se3_exp(xj))
+
+
+def build_pose_graph_3d(pose_tangents, edges_from, edges_to,
+                        measurement_tangents, information=None,
+                        fix_first=True):
+    n = pose_tangents.shape[0]
+    fixed = jnp.zeros((n,), dtype=bool).at[0].set(fix_first)
+    group = VariableGroup("pose", jnp.asarray(pose_tangents),
+                          retract=se3_retract, fixed_mask=fixed)
+    idx = jnp.stack(
+        [jnp.asarray(edges_from, jnp.int32), jnp.asarray(edges_to, jnp.int32)],
+        axis=-1,
+    )
+    block = FactorBlock(
+        "se3_edge",
+        se3_edge_residual,
+        ("pose", "pose"),
+        idx,
+        measurement=jnp.asarray(measurement_tangents),
+        information=None if information is None else jnp.asarray(information),
+    )
+    return Problem((group,), (block,))
+
+
+def optimize_pose_graph_3d(pose_tangents, edges_from, edges_to,
+                           measurement_tangents, information=None,
+                           max_iterations=50, tolerance=1e-10,
+                           linear_solver="dense"):
+    """optimize_pose_graph_3d (pose_graph_optimization_3d.rs:53-119).
+    Returns (pose tangents [N, 6], SolverSummary)."""
+    prob = build_pose_graph_3d(pose_tangents, edges_from, edges_to,
+                               measurement_tangents, information)
+    cfg = SolverConfig(
+        method="lm",
+        max_iterations=max(max_iterations, 1),
+        gradient_tolerance=tolerance,
+        step_tolerance=tolerance,
+        cost_tolerance=tolerance * tolerance,
+        linear_solver=linear_solver,
+    )
+    solved, summary = solve(prob, cfg)
+    return solved.groups[0].values, summary

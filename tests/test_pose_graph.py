@@ -1,0 +1,93 @@
+"""Pose-graph tests on the reference's own deterministic benchmark problem
+(benchmark_large_pose_graph.rs) and SE(3) round-trip graphs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rust_robotics_tpu.core.lie import se3_exp, se3_inverse, se3_log
+from rust_robotics_tpu.demos.pose_graph_bench import rmse, synthesize_chain
+from rust_robotics_tpu.slam.pose_graph import (
+    optimize_pose_graph_2d,
+    optimize_pose_graph_3d,
+    se2_edge_residual,
+)
+
+
+def test_se2_residual_zero_at_truth():
+    truth, _, ef, et, meas, _ = synthesize_chain(10)
+    for k in range(len(ef)):
+        r = se2_edge_residual(
+            jnp.asarray(truth[ef[k]]), jnp.asarray(truth[et[k]]), jnp.asarray(meas[k])
+        )
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-12)
+
+
+def test_pose_graph_200_dense_matches_reference_quality():
+    truth, initial, ef, et, meas, info = synthesize_chain(200)
+    poses, summary = optimize_pose_graph_2d(
+        jnp.asarray(initial), ef, et, jnp.asarray(meas), jnp.asarray(info),
+        max_iterations=25, tolerance=1e-8,
+    )
+    assert summary.termination != "max_iterations"
+    err = rmse(poses, truth)
+    # reference achieves 8.11e-7 at size 200 (README.md:711); accept the
+    # same quality bar as its gate (5e-3) and near-reference accuracy
+    assert err < 1e-5, err
+
+
+def test_pose_graph_200_pcg_matches_dense():
+    truth, initial, ef, et, meas, info = synthesize_chain(200)
+    poses_d, _ = optimize_pose_graph_2d(
+        jnp.asarray(initial), ef, et, jnp.asarray(meas), jnp.asarray(info),
+        max_iterations=25, tolerance=1e-8,
+    )
+    poses_p, _ = optimize_pose_graph_2d(
+        jnp.asarray(initial), ef, et, jnp.asarray(meas), jnp.asarray(info),
+        max_iterations=25, tolerance=1e-8, linear_solver="pcg",
+    )
+    assert rmse(poses_p, truth) < 1e-5
+    np.testing.assert_allclose(poses_d, poses_p, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_pose_graph_1000_pcg_reference_gate():
+    truth, initial, ef, et, meas, info = synthesize_chain(1000)
+    poses, summary = optimize_pose_graph_2d(
+        jnp.asarray(initial), ef, et, jnp.asarray(meas), jnp.asarray(info),
+        max_iterations=25, tolerance=1e-8, linear_solver="pcg",
+    )
+    assert summary.termination != "max_iterations"
+    assert rmse(poses, truth) < 5e-3  # the reference's acceptance gate
+
+
+def test_se3_pose_graph_recovers_truth():
+    key = jax.random.PRNGKey(0)
+    n = 12
+    truth_t = 0.3 * jax.random.normal(key, (n, 6), dtype=jnp.float64)
+    truth_t = truth_t.at[0].set(0.0)
+    mats = se3_exp(truth_t)
+
+    ef = jnp.arange(n - 1, dtype=jnp.int32)
+    et = ef + 1
+    meas = se3_log(se3_inverse(mats[:-1]) @ mats[1:])
+    # loop closure first->last
+    ef = jnp.concatenate([ef, jnp.array([0], jnp.int32)])
+    et = jnp.concatenate([et, jnp.array([n - 1], jnp.int32)])
+    meas = jnp.concatenate(
+        [meas, se3_log(se3_inverse(mats[0:1]) @ mats[n - 1 : n])]
+    )
+
+    noisy = truth_t + 0.02 * jax.random.normal(
+        jax.random.PRNGKey(1), (n, 6), dtype=jnp.float64
+    )
+    noisy = noisy.at[0].set(truth_t[0])
+    solved, summary = optimize_pose_graph_3d(
+        noisy, ef, et, meas, max_iterations=30, tolerance=1e-12
+    )
+    # compare as transforms (tangent representatives may differ)
+    t_solved = se3_exp(solved)
+    t_truth = se3_exp(truth_t)
+    err = se3_log(se3_inverse(t_truth) @ t_solved)
+    assert float(jnp.max(jnp.abs(err))) < 1e-6
