@@ -87,9 +87,11 @@ def build_pose_graph_2d(poses, edges_from, edges_to, measurements,
 
 def optimize_pose_graph_2d(poses, edges_from, edges_to, measurements,
                            information=None, max_iterations=50,
-                           tolerance=1e-10, linear_solver="dense"):
+                           tolerance=1e-10, linear_solver="dense",
+                           pcg_max_iterations=3000, pcg_tolerance=1e-6):
     """optimize_pose_graph (pose_graph_optimization.rs:73-140): LM, first
-    pose fixed; tolerances mapped as the reference maps PoseGraphConfig.
+    pose fixed; tolerances mapped as the reference maps PoseGraphConfig
+    (PCG defaults follow benchmark_large_pose_graph.rs:66-75: 3000 iters).
     Returns (poses [N, 3], SolverSummary)."""
     prob = build_pose_graph_2d(poses, edges_from, edges_to, measurements,
                                information)
@@ -100,6 +102,8 @@ def optimize_pose_graph_2d(poses, edges_from, edges_to, measurements,
         step_tolerance=tolerance,
         cost_tolerance=tolerance * tolerance,
         linear_solver=linear_solver,
+        pcg_max_iterations=pcg_max_iterations,
+        pcg_tolerance=pcg_tolerance,
     )
     solved, summary = solve(prob, cfg)
     return solved.groups[0].values, summary
