@@ -1,3 +1,44 @@
+from rust_robotics_tpu.control.admm import (  # noqa: F401
+    ADMMConfig,
+    solve_consensus,
+    solve_formation_consensus,
+)
+from rust_robotics_tpu.control.aerial import (  # noqa: F401
+    minimum_snap_coeffs,
+    quintic_3d_segments,
+    simulate_quadrotor,
+)
+from rust_robotics_tpu.control.arena import run_controller_arena  # noqa: F401
+from rust_robotics_tpu.control.arm import (  # noqa: F401
+    forward_kinematics,
+    resolved_rate_ik,
+    two_joint_ik,
+)
+from rust_robotics_tpu.control.cbf import (  # noqa: F401
+    CBFConfig,
+    cbf_filter_single_integrator,
+    solve_qp_dual,
+)
+from rust_robotics_tpu.control.mission import (  # noqa: F401
+    Action,
+    Condition,
+    Selector,
+    Sequence,
+    StateMachine,
+    Status,
+    make_waypoint_mission,
+)
+from rust_robotics_tpu.control.mpc import MPCConfig, mpc_control  # noqa: F401
+from rust_robotics_tpu.control.mppi import (  # noqa: F401
+    MPPIConfig,
+    mppi_plan,
+    shift_nominal,
+)
+from rust_robotics_tpu.control.nonlinear import (  # noqa: F401
+    backstepping_control,
+    feedback_linearization_control,
+    sliding_mode_control,
+)
 from rust_robotics_tpu.control.trackers import (  # noqa: F401
     LQRSteerConfig,
     MoveToPoseConfig,
@@ -13,4 +54,9 @@ from rust_robotics_tpu.control.trackers import (  # noqa: F401
     pure_pursuit_control,
     rear_wheel_feedback_control,
     stanley_control,
+)
+from rust_robotics_tpu.control.trajopt import (  # noqa: F401
+    ddp_solve,
+    ilqr_solve,
+    lqr_regulator,
 )

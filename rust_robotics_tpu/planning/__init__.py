@@ -1,7 +1,40 @@
+from rust_robotics_tpu.planning.curves import (  # noqa: F401
+    CubicSpline1D,
+    QuinticPolynomial,
+    Spline2D,
+    bezier_path,
+    bspline_course,
+    calc_spline_course,
+    catmull_rom_course,
+    dubins_shortest_path,
+)
+from rust_robotics_tpu.planning.dwa import DWAConfig, dwa_step  # noqa: F401
+from rust_robotics_tpu.planning.fields import (  # noqa: F401
+    boustrophedon_sweep,
+    flow_field,
+    potential_field,
+)
+from rust_robotics_tpu.planning.frenet import (  # noqa: F401
+    FrenetConfig,
+    frenet_optimal_plan,
+)
 from rust_robotics_tpu.planning.grid import (  # noqa: F401
     GridMap,
     grid_from_obstacle_points,
     grid_from_raster,
+)
+from rust_robotics_tpu.planning.hybrid_astar import (  # noqa: F401
+    extract_hybrid_path,
+    hybrid_astar_costs,
+)
+from rust_robotics_tpu.planning.rrt import (  # noqa: F401
+    RRTConfig,
+    extract_rrt_path,
+    rrt_plan,
+)
+from rust_robotics_tpu.planning.smoothing import (  # noqa: F401
+    relax_path,
+    shortcut_path,
 )
 from rust_robotics_tpu.planning.wavefront import (  # noqa: F401
     extract_path,
