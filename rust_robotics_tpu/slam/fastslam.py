@@ -197,3 +197,104 @@ def estimate(particles):
     )
     best = jnp.argmax(particles.weights)
     return jnp.concatenate([mean_xy, yaw[None]]), best
+
+
+# ---------------------------------------------------------------------------
+# FastSLAM 2.0 (fastslam2.rs)
+# ---------------------------------------------------------------------------
+
+def _observe_pose_jacobian(poses, lm):
+    """H wrt pose [P, 2, 3] for range-bearing to landmark lm [P, 2]."""
+    d = lm - poses[:, :2]
+    q = jnp.clip(jnp.sum(d * d, axis=-1), 1e-12, None)
+    sq = jnp.sqrt(q)
+    h = jnp.stack(
+        [
+            jnp.stack([-d[:, 0] / sq, -d[:, 1] / sq, jnp.zeros_like(sq)], axis=-1),
+            jnp.stack([d[:, 1] / q, -d[:, 0] / q, -jnp.ones_like(q)], axis=-1),
+        ],
+        axis=-2,
+    )
+    return h
+
+
+def fastslam2_proposal_update(particles, z, lm_id, r_obs, pose_cov_prior, key):
+    """One FastSLAM 2.0 observation fold (fastslam2.rs): condition the pose
+    proposal on the measurement before sampling, then run the landmark EKF.
+
+    pose_cov_prior [3, 3]: motion-noise covariance of the sampled pose.
+    Only particles that have SEEN lm_id get the refined proposal (unseen →
+    plain initialization, as in 1.0).
+    """
+    from rust_robotics_tpu.ops.smallmat import inv_spd_small
+
+    poses = particles.poses
+    p = poses.shape[0]
+    seen = particles.lm_seen[:, lm_id]
+    lm = particles.lm_mean[:, lm_id]
+    lm_cov = particles.lm_cov[:, lm_id]
+
+    z_pred, h_lm = _observe_jacobian(poses, lm)
+    h_pose = _observe_pose_jacobian(poses, lm)
+    y = jnp.stack(
+        [z[0] - z_pred[:, 0], normalize_angle(z[1] - z_pred[:, 1])], axis=-1
+    )
+    s = h_lm @ lm_cov @ jnp.swapaxes(h_lm, -1, -2) + r_obs
+    s_inv = inv_spd_small(s)
+
+    prior_inv = jnp.linalg.inv(pose_cov_prior)
+    sigma_inv = (
+        jnp.einsum("pji,pjk,pkl->pil", h_pose, s_inv, h_pose) + prior_inv
+    )
+    sigma = jnp.linalg.inv(sigma_inv)
+    mu_shift = jnp.einsum(
+        "pij,pkj,pkl,pl->pi", sigma, h_pose, s_inv, y
+    )
+    noise = jax.random.normal(key, (p, 3), poses.dtype)
+    chol = jnp.linalg.cholesky(sigma)
+    sampled = poses + jnp.where(
+        seen[:, None],
+        mu_shift + jnp.einsum("pij,pj->pi", chol, noise),
+        0.0,
+    )
+    sampled = sampled.at[:, 2].set(normalize_angle(sampled[:, 2]))
+    refined = FastSLAMParticles(
+        sampled, particles.weights, particles.lm_mean, particles.lm_cov,
+        particles.lm_seen,
+    )
+    return update_with_observation(refined, z, lm_id, r_obs)
+
+
+def fastslam2_step(particles, u, observations, obs_mask, dt,
+                   control_noise_chol, r_obs, key):
+    """Full FastSLAM 2.0 step: noisy motion proposal, measurement-refined
+    pose resampling per observation, landmark EKFs, N_eff resampling."""
+    k_pred, k_obs, k_res = jax.random.split(key, 3)
+    particles = predict_particles(particles, u, dt, control_noise_chol, k_pred)
+    pose_cov = control_noise_chol @ control_noise_chol.T
+    # lift control noise into pose space (crude diagonal mapping, dt-scaled)
+    pose_cov_prior = jnp.diag(
+        jnp.array(
+            [pose_cov[0, 0] * dt * dt + 1e-4,
+             pose_cov[0, 0] * dt * dt + 1e-4,
+             pose_cov[1, 1] * dt * dt + 1e-4]
+        )
+    ).astype(particles.poses.dtype)
+
+    def fold(carry, zm):
+        ps, key = carry
+        z3, m = zm
+        key, sub = jax.random.split(key)
+        lm_id = z3[2].astype(jnp.int32)
+
+        def upd(p_):
+            return fastslam2_proposal_update(
+                p_, z3[:2], lm_id, r_obs, pose_cov_prior, sub
+            )
+
+        return (jax.lax.cond(m, upd, lambda p_: p_, ps), key), None
+
+    (particles, _), _ = jax.lax.scan(
+        fold, (particles, k_obs), (observations, obs_mask)
+    )
+    return normalize_and_resample(particles, k_res)
