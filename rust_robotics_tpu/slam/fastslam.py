@@ -218,83 +218,92 @@ def _observe_pose_jacobian(poses, lm):
     return h
 
 
-def fastslam2_proposal_update(particles, z, lm_id, r_obs, pose_cov_prior, key):
-    """One FastSLAM 2.0 observation fold (fastslam2.rs): condition the pose
-    proposal on the measurement before sampling, then run the landmark EKF.
-
-    pose_cov_prior [3, 3]: motion-noise covariance of the sampled pose.
-    Only particles that have SEEN lm_id get the refined proposal (unseen →
-    plain initialization, as in 1.0).
-    """
+def fastslam2_step(particles, u, observations, obs_mask, dt,
+                   control_noise_chol, r_obs, key):
+    """Full FastSLAM 2.0 step (fastslam2.rs): the pose proposal conditions
+    on ALL current observations of already-seen landmarks — accumulate the
+    information form (Λ, η) over observations at the motion-prior mean,
+    sample the pose ONCE from N(μ_prior + Ση, Σ), then run the standard
+    landmark EKFs/weights. Sequential per-observation resampling (the naive
+    reading) injects extra diffusion; this is the consistent form."""
     from rust_robotics_tpu.ops.smallmat import inv_spd_small
 
+    k_samp, k_res = jax.random.split(key)
     poses = particles.poses
     p = poses.shape[0]
-    seen = particles.lm_seen[:, lm_id]
-    lm = particles.lm_mean[:, lm_id]
-    lm_cov = particles.lm_cov[:, lm_id]
 
-    z_pred, h_lm = _observe_jacobian(poses, lm)
-    h_pose = _observe_pose_jacobian(poses, lm)
-    y = jnp.stack(
-        [z[0] - z_pred[:, 0], normalize_angle(z[1] - z_pred[:, 1])], axis=-1
+    # motion-prior mean (noise enters through the proposal covariance)
+    x, y_, yaw = poses[:, 0], poses[:, 1], poses[:, 2]
+    prior_mean = jnp.stack(
+        [
+            x + u[0] * dt * jnp.cos(yaw),
+            y_ + u[0] * dt * jnp.sin(yaw),
+            normalize_angle(yaw + u[1] * dt),
+        ],
+        axis=-1,
     )
-    s = h_lm @ lm_cov @ jnp.swapaxes(h_lm, -1, -2) + r_obs
-    s_inv = inv_spd_small(s)
+    pose_cov = control_noise_chol @ control_noise_chol.T
+    prior_cov = jnp.diag(
+        jnp.array(
+            [pose_cov[0, 0] * dt * dt + 1e-6,
+             pose_cov[0, 0] * dt * dt + 1e-6,
+             pose_cov[1, 1] * dt * dt + 1e-6]
+        )
+    ).astype(poses.dtype)
+    prior_inv = jnp.linalg.inv(prior_cov)
 
-    prior_inv = jnp.linalg.inv(pose_cov_prior)
-    sigma_inv = (
-        jnp.einsum("pji,pjk,pkl->pil", h_pose, s_inv, h_pose) + prior_inv
+    def accumulate(carry, zm):
+        lam, eta = carry
+        z3, m = zm
+        lm_id = z3[2].astype(jnp.int32)
+        seen = particles.lm_seen[:, lm_id]
+        lm = particles.lm_mean[:, lm_id]
+        lm_cov = particles.lm_cov[:, lm_id]
+        z_pred, h_lm = _observe_jacobian(prior_mean, lm)
+        h_pose = _observe_pose_jacobian(prior_mean, lm)
+        yv = jnp.stack(
+            [z3[0] - z_pred[:, 0], normalize_angle(z3[1] - z_pred[:, 1])],
+            axis=-1,
+        )
+        s = h_lm @ lm_cov @ jnp.swapaxes(h_lm, -1, -2) + r_obs
+        s_inv = inv_spd_small(s)
+        use = (m & seen)[:, None]
+        lam = lam + jnp.where(
+            use[..., None],
+            jnp.einsum("pji,pjk,pkl->pil", h_pose, s_inv, h_pose),
+            0.0,
+        )
+        eta = eta + jnp.where(
+            use, jnp.einsum("pji,pjk,pk->pi", h_pose, s_inv, yv), 0.0
+        )
+        return (lam, eta), None
+
+    lam0 = jnp.zeros((p, 3, 3), poses.dtype)
+    eta0 = jnp.zeros((p, 3), poses.dtype)
+    (lam, eta), _ = jax.lax.scan(accumulate, (lam0, eta0), (observations, obs_mask))
+
+    sigma = jnp.linalg.inv(lam + prior_inv)
+    mu = prior_mean + jnp.einsum("pij,pj->pi", sigma, eta)
+    chol = jnp.linalg.cholesky(
+        0.5 * (sigma + jnp.swapaxes(sigma, -1, -2))
+        + 1e-12 * jnp.eye(3, dtype=poses.dtype)
     )
-    sigma = jnp.linalg.inv(sigma_inv)
-    mu_shift = jnp.einsum(
-        "pij,pkj,pkl,pl->pi", sigma, h_pose, s_inv, y
-    )
-    noise = jax.random.normal(key, (p, 3), poses.dtype)
-    chol = jnp.linalg.cholesky(sigma)
-    sampled = poses + jnp.where(
-        seen[:, None],
-        mu_shift + jnp.einsum("pij,pj->pi", chol, noise),
-        0.0,
-    )
+    noise = jax.random.normal(k_samp, (p, 3), poses.dtype)
+    sampled = mu + jnp.einsum("pij,pj->pi", chol, noise)
     sampled = sampled.at[:, 2].set(normalize_angle(sampled[:, 2]))
-    refined = FastSLAMParticles(
+    particles = FastSLAMParticles(
         sampled, particles.weights, particles.lm_mean, particles.lm_cov,
         particles.lm_seen,
     )
-    return update_with_observation(refined, z, lm_id, r_obs)
 
-
-def fastslam2_step(particles, u, observations, obs_mask, dt,
-                   control_noise_chol, r_obs, key):
-    """Full FastSLAM 2.0 step: noisy motion proposal, measurement-refined
-    pose resampling per observation, landmark EKFs, N_eff resampling."""
-    k_pred, k_obs, k_res = jax.random.split(key, 3)
-    particles = predict_particles(particles, u, dt, control_noise_chol, k_pred)
-    pose_cov = control_noise_chol @ control_noise_chol.T
-    # lift control noise into pose space (crude diagonal mapping, dt-scaled)
-    pose_cov_prior = jnp.diag(
-        jnp.array(
-            [pose_cov[0, 0] * dt * dt + 1e-4,
-             pose_cov[0, 0] * dt * dt + 1e-4,
-             pose_cov[1, 1] * dt * dt + 1e-4]
-        )
-    ).astype(particles.poses.dtype)
-
-    def fold(carry, zm):
-        ps, key = carry
+    def fold(ps, zm):
         z3, m = zm
-        key, sub = jax.random.split(key)
         lm_id = z3[2].astype(jnp.int32)
 
         def upd(p_):
-            return fastslam2_proposal_update(
-                p_, z3[:2], lm_id, r_obs, pose_cov_prior, sub
-            )
+            return update_with_observation(p_, z3[:2], lm_id, r_obs)
 
-        return (jax.lax.cond(m, upd, lambda p_: p_, ps), key), None
+        return jax.lax.cond(m, upd, lambda p_: p_, ps), None
 
-    (particles, _), _ = jax.lax.scan(
-        fold, (particles, k_obs), (observations, obs_mask)
-    )
+    particles, _ = jax.lax.scan(fold, particles, (observations, obs_mask))
     return normalize_and_resample(particles, k_res)
