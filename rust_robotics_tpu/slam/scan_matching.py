@@ -211,3 +211,39 @@ def graph_slam_from_landmarks(pose_guesses, landmark_obs, obs_mask,
         jnp.asarray(np.stack(meas)), jnp.asarray(np.stack(info)),
         max_iterations=max_iterations,
     )
+
+
+def point_to_plane_icp(prev_pts, prev_normals, cur_pts, init_xi=None,
+                       iterations: int = 30):
+    """Point-to-plane 3D ICP (geometric_icp.rs:145): minimize
+    Σ (n_qᵀ (T p − q))² over SE(3); per-iteration closed-form 6×6 GN with
+    NN association against the normal-equipped previous cloud.
+
+    Returns (xi [6] se3 tangent of previous-from-current, mean distance).
+    """
+    from rust_robotics_tpu.core.lie import se3_exp, se3_log, skew
+
+    f = prev_pts.dtype
+    xi0 = jnp.zeros(6, f) if init_xi is None else jnp.asarray(init_xi, f)
+
+    def body(_, xi):
+        t = se3_exp(xi)
+        moved = cur_pts @ t[:3, :3].T + t[:3, 3]
+        idx, _ = nearest_neighbor(prev_pts, moved)
+        q = prev_pts[idx]
+        n = prev_normals[idx]
+        r = jnp.sum(n * (moved - q), axis=-1)  # [M]
+        # Jacobian wrt δξ (left perturbation): d(moved)/dδ = [I, −skew(moved)]
+        j_trans = n  # [M, 3]
+        j_rot = jnp.cross(moved, n)  # = −nᵀ skew(moved) transposed sign → n×p? use cross(p, n)
+        j = jnp.concatenate([j_trans, j_rot], axis=-1)  # [M, 6]
+        h = j.T @ j + 1e-9 * jnp.eye(6, dtype=f)
+        g = j.T @ r
+        delta = -jnp.linalg.solve(h, g)
+        return se3_log(se3_exp(jnp.concatenate([delta[:3], delta[3:]])) @ se3_exp(xi))
+
+    xi = jax.lax.fori_loop(0, iterations, body, xi0)
+    t = se3_exp(xi)
+    moved = cur_pts @ t[:3, :3].T + t[:3, 3]
+    _, dist = nearest_neighbor(prev_pts, moved)
+    return xi, jnp.mean(dist)
