@@ -138,33 +138,33 @@ def state_lattice_plan(goal_pose, obstacles, radii, k0=0.0,
     return trajs[best], params[best], costs[best]
 
 
-def clothoid_path(target_pose, k0=0.0, iterations: int = 40):
-    """Linear-curvature (clothoid) boundary solve (clothoid_path.rs): the
-    km-constrained special case — k(t) = k0 + c·t, parameters [s, kf].
-    Returns (poses [num, 3], params [s, kf], error)."""
+def clothoid_path(target_pose, iterations: int = 60):
+    """G1 clothoid fit (clothoid_path.rs): ONE linear-curvature segment
+    k(t) = k0 + c·t reaching [x, y, yaw] from the origin — unknowns
+    [s, k0, kf] (initial curvature free, as in the reference's G1 solve).
+    Returns (poses [num, 3], params [s, k0, kf], error)."""
     target = jnp.asarray(target_pose)
 
-    def lift(p2):
-        s, kf = p2[0], p2[1]
-        km = 0.5 * (k0 + kf)  # linear profile midpoint
-        return jnp.stack([s, km, kf])
+    def integrate(p3):
+        s, k_start, kf = p3[0], p3[1], p3[2]
+        km = 0.5 * (k_start + kf)  # exact midpoint of a linear profile
+        return integrate_curvature_poly(jnp.stack([s, km, kf]), k_start)
 
-    def err(p2):
-        e = integrate_curvature_poly(lift(p2), k0)[-1] - target
-        return e[:3].at[2].set(normalize_angle(e[2]))
+    def err(p3):
+        e = integrate(p3)[-1] - target
+        return e.at[2].set(normalize_angle(e[2]))
 
     jac = jax.jacobian(err)
     d = jnp.hypot(target[0], target[1])
-    p = jnp.stack([d * 1.2 + 1e-3, target[2]])
+    p = jnp.stack([d * 1.2 + 1e-3, target[2] * 0.5, target[2] * 0.5])
 
-    def body(_, p2):
-        e = err(p2)
-        j = jac(p2)  # [3, 2]
-        h = j.T @ j + 1e-6 * jnp.eye(2, dtype=p2.dtype)
+    def body(_, p3):
+        e = err(p3)
+        j = jac(p3)  # [3, 3]
+        h = j.T @ j + 1e-9 * jnp.eye(3, dtype=p3.dtype)
         delta = -jnp.linalg.solve(h, j.T @ e)
-        p_new = p2 + delta
+        p_new = p3 + delta
         return p_new.at[0].set(jnp.clip(p_new[0], 0.1, None))
 
     p = jax.lax.fori_loop(0, iterations, body, p)
-    poses = integrate_curvature_poly(lift(p), k0)
-    return poses, p, jnp.linalg.norm(err(p))
+    return integrate(p), p, jnp.linalg.norm(err(p))
