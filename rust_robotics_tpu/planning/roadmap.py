@@ -95,3 +95,86 @@ def prm_plan(key, start, goal, obstacles, radii, **kwargs):
     cost, dist = roadmap_shortest_path(w)
     pts, mask = extract_roadmap_path(verts, w, dist)
     return pts, mask, cost
+
+
+def visibility_roadmap(start, goal, obstacles, radii, inflate=1.2,
+                       corners_per_obstacle: int = 8, edge_checks=16):
+    """Visibility road map (visibility_road_map.rs): vertices are points
+    ringed around each (inflated) obstacle circle; edges connect mutually
+    visible vertices. Returns (vertices, weights) for
+    `roadmap_shortest_path`."""
+    m = obstacles.shape[0]
+    th = jnp.linspace(0.0, 2.0 * jnp.pi, corners_per_obstacle, endpoint=False)
+    ring = jnp.stack([jnp.cos(th), jnp.sin(th)], axis=-1)  # [C, 2]
+    verts_obs = (
+        obstacles[:, None, :] + (radii[:, None, None] * inflate) * ring[None]
+    ).reshape(m * corners_per_obstacle, 2)
+    verts = jnp.concatenate(
+        [jnp.asarray(start)[None], jnp.asarray(goal)[None], verts_obs]
+    )
+    n = verts.shape[0]
+    d = jnp.linalg.norm(verts[:, None, :] - verts[None, :, :], axis=-1)
+    vis = jax.vmap(
+        lambda p: _edge_free(
+            jnp.broadcast_to(p, verts.shape), verts, obstacles, radii,
+            edge_checks,
+        )
+    )(verts)
+    v_free = jnp.all(
+        jnp.linalg.norm(verts[:, None, :] - obstacles, axis=-1) > radii,
+        axis=-1,
+    )
+    ok = vis & v_free[:, None] & v_free[None, :]
+    w = jnp.where(ok, d, BIG)
+    return verts, jnp.where(jnp.eye(n, dtype=bool), 0.0, w)
+
+
+def voronoi_roadmap(start, goal, blocked, min_x, min_y, resolution,
+                    ridge_quantile=0.7, max_vertices: int = 256,
+                    connect_radius_cells: float = 6.0):
+    """Voronoi road map (voronoi_road_map.rs): vertices on the maximal-
+    clearance ridge of the obstacle distance field (EDT local maxima),
+    connected within a radius when the straight cell-space segment stays
+    clear. Returns (vertices [V, 2] world coords, weights [V, V])."""
+    from rust_robotics_tpu.mapping.distance import compute_udf
+
+    udf = compute_udf(jnp.asarray(blocked))
+    w, h = udf.shape
+    # ridge cells: distance >= all 4-neighbors (local maxima of clearance)
+    pad = jnp.pad(udf, 1, constant_values=-1.0)
+    neigh = jnp.stack(
+        [pad[:-2, 1:-1], pad[2:, 1:-1], pad[1:-1, :-2], pad[1:-1, 2:]]
+    )
+    is_ridge = (udf >= jnp.max(neigh, axis=0)) & (~jnp.asarray(blocked))
+    score = jnp.where(is_ridge, udf, -jnp.inf).ravel()
+    vals, idx = jax.lax.top_k(score, max_vertices)
+    vx = (idx // h).astype(jnp.float64)
+    vy = (idx % h).astype(jnp.float64)
+    cells = jnp.stack([vx, vy], axis=-1)
+    s_cell = (jnp.asarray(start) - jnp.stack([min_x, min_y])) / resolution
+    g_cell = (jnp.asarray(goal) - jnp.stack([min_x, min_y])) / resolution
+    verts = jnp.concatenate([s_cell[None], g_cell[None], cells])
+    valid = jnp.concatenate([jnp.array([True, True]), vals > 0.5])
+    n = verts.shape[0]
+    d = jnp.linalg.norm(verts[:, None, :] - verts[None, :, :], axis=-1)
+
+    from rust_robotics_tpu.planning.smoothing import line_of_sight_free
+
+    free_seg = jax.vmap(
+        lambda p: line_of_sight_free(
+            jnp.broadcast_to(p, verts.shape) * resolution
+            + jnp.stack([min_x, min_y]),
+            verts * resolution + jnp.stack([min_x, min_y]),
+            jnp.asarray(blocked), min_x, min_y, resolution, samples=24,
+        )
+    )(verts)
+    ok = (
+        free_seg
+        & (d <= connect_radius_cells)
+        & valid[:, None]
+        & valid[None, :]
+    )
+    wmat = jnp.where(ok, d * resolution, BIG)
+    wmat = jnp.where(jnp.eye(n, dtype=bool), 0.0, wmat)
+    world = verts * resolution + jnp.stack([min_x, min_y])
+    return world, wmat

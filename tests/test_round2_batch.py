@@ -136,3 +136,49 @@ def test_fastslam2_tracks():
     lm = np.asarray(particles.lm_mean[int(best)])
     for i in range(3):
         assert np.linalg.norm(lm[i] - LANDMARKS[i]) < 1.5, (i, lm[i])
+
+
+def test_visibility_roadmap_plans():
+    from rust_robotics_tpu.planning.roadmap import (
+        extract_roadmap_path,
+        roadmap_shortest_path,
+        visibility_roadmap,
+    )
+
+    obstacles = jnp.array([[5.0, 5.0]])
+    radii = jnp.array([1.5])
+    verts, w = visibility_roadmap(
+        jnp.array([1.0, 5.0]), jnp.array([9.0, 5.0]), obstacles, radii
+    )
+    cost, dist = roadmap_shortest_path(w)
+    assert float(cost) < 1e17
+    assert float(cost) > 8.0  # detour around the circle
+    pts, mask = extract_roadmap_path(verts, w, dist)
+    p = np.asarray(pts)[np.asarray(mask)]
+    np.testing.assert_allclose(p[-1], [9.0, 5.0], atol=1e-9)
+
+
+def test_voronoi_roadmap_max_clearance():
+    import jax
+
+    from rust_robotics_tpu.planning.roadmap import (
+        roadmap_shortest_path,
+        voronoi_roadmap,
+    )
+
+    blocked = np.zeros((40, 40), dtype=bool)
+    blocked[:, :3] = True
+    blocked[:, 37:] = True  # corridor walls along y
+    verts, w = voronoi_roadmap(
+        jnp.array([2.0, 20.0]), jnp.array([38.0, 20.0]), jnp.asarray(blocked),
+        0.0, 0.0, 1.0,
+    )
+    cost, dist = roadmap_shortest_path(w)
+    assert float(cost) < 1e17
+    np.testing.assert_allclose(float(cost), 36.0, atol=1.0)
+    # connected ridge vertices hug the corridor centerline (y ≈ 20)
+    connected = (np.asarray(w) < 1e17).sum(axis=1) > 1
+    v = np.asarray(verts)[2:][connected[2:]]
+    assert len(v) > 10
+    mid = np.abs(v[:, 1] - 20.0)
+    assert np.median(mid) < 2.0
