@@ -32,6 +32,32 @@ from rust_robotics_tpu.planning.rrt import (  # noqa: F401
     extract_rrt_path,
     rrt_plan,
 )
+from rust_robotics_tpu.planning.rrt_kinematic import (  # noqa: F401
+    KinematicRRTConfig,
+    LQRRRTConfig,
+    closed_loop_rrt_star_plan,
+    extract_pose_path,
+    lqr_rrt_star_plan,
+    rrt_dubins_plan,
+    rrt_star_dubins_plan,
+    rrt_star_reeds_shepp_plan,
+)
+from rust_robotics_tpu.planning.rrt_variants import (  # noqa: F401
+    GraphPlannerConfig,
+    bidirectional_rrt_plan,
+    bit_star_plan,
+    extract_graph_path,
+    fmt_star_plan,
+    graph_shortest_path,
+    informed_rrt_star_plan,
+    rrg_plan,
+    rrt_connect_plan,
+    rrt_sobol_plan,
+    sobol_sequence_2d,
+)
+from rust_robotics_tpu.planning.rrt_variants import (  # noqa: F401
+    shortcut_path as shortcut_waypoint_path,
+)
 from rust_robotics_tpu.planning.smoothing import (  # noqa: F401
     relax_path,
     shortcut_path,

@@ -12,7 +12,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Force CPU: the session environment pins JAX_PLATFORMS=axon (the real TPU
-# tunnel), but unit tests must run on the virtual 8-device CPU mesh.
+# tunnel) and a sitecustomize imports jax at interpreter startup, so env
+# vars alone are too late — override via jax.config, which wins any time
+# before backend initialization.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -22,4 +24,6 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
