@@ -23,9 +23,26 @@ from rust_robotics_tpu.planning.grid import (  # noqa: F401
     grid_from_obstacle_points,
     grid_from_raster,
 )
+from rust_robotics_tpu.planning.grid3d import (  # noqa: F401
+    extract_path_3d,
+    plan_grid_3d,
+    wavefront_costs_3d,
+)
 from rust_robotics_tpu.planning.hybrid_astar import (  # noqa: F401
     extract_hybrid_path,
     hybrid_astar_costs,
+)
+from rust_robotics_tpu.planning.incremental import (  # noqa: F401
+    ara_star_plan,
+    beam_search_costs,
+    dstar_lite_replan,
+    dstar_replan,
+    fringe_search_costs,
+    ida_star_costs,
+    lpa_star_replan,
+    octile_heuristic,
+    relax_with_stats,
+    repair_costs,
 )
 from rust_robotics_tpu.planning.rrt import (  # noqa: F401
     RRTConfig,
