@@ -249,3 +249,97 @@ def bug2_plan(blocked, start_idx, goal_idx, max_steps=2000):
                 mode = "line"
         path.append(tuple(cur))
     return np.array(path), False
+
+
+def tangent_bug_plan(blocked, start_idx, goal_idx, sensor_range=6.0,
+                     max_steps=2000):
+    """Tangent Bug (tangent_bug.rs): motion-to-goal until the next cell is
+    blocked, then boundary-following — scan boundary cells within
+    `sensor_range`, take the one minimizing distance-to-goal as the tangent
+    point, wall-follow toward it; leave when the direct step is free AND
+    the current goal distance beats d_reach (recorded at the hit), per
+    Kamon & Rivlin (1997). Host-side FSM mirroring bug2_plan; returns
+    (path [K, 2] int cells, reached)."""
+    import numpy as np
+
+    blocked = np.asarray(blocked)
+    w, h = blocked.shape
+    s = np.asarray(start_idx, int)
+    g = np.asarray(goal_idx, int)
+    dirs4 = [(1, 0), (0, 1), (-1, 0), (0, -1)]
+
+    def free(p):
+        return 0 <= p[0] < w and 0 <= p[1] < h and not blocked[p[0], p[1]]
+
+    def goal_step(cur):
+        d = g - cur
+        order = ([(np.sign(d[0]), 0), (0, np.sign(d[1]))]
+                 if abs(d[0]) >= abs(d[1])
+                 else [(0, np.sign(d[1])), (np.sign(d[0]), 0)])
+        return [np.asarray(o, int) for o in order if any(o)]
+
+    def boundary_cells_near(cur):
+        """Free 4-neighbors of obstacle cells within sensor range of cur."""
+        r = int(np.ceil(sensor_range))
+        out = []
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                p = cur + np.array([dx, dy])
+                if dx * dx + dy * dy > sensor_range ** 2 or not free(p):
+                    continue
+                if any(not free(p + np.asarray(d4)) and
+                       0 <= p[0] + d4[0] < w and 0 <= p[1] + d4[1] < h
+                       for d4 in dirs4):
+                    out.append(p)
+        return out
+
+    path = [tuple(s)]
+    cur = s.copy()
+    mode = "goal"
+    heading = 0
+    d_reach = np.inf
+    for _ in range(max_steps):
+        if (cur == g).all():
+            return np.array(path), True
+        if mode == "goal":
+            nxt = cur + goal_step(cur)[0]
+            if free(nxt):
+                cur = nxt
+            else:
+                mode = "boundary"
+                d_reach = np.hypot(*(g - cur))
+                blocked_dir = goal_step(cur)[0]
+                # tangent point: sensed boundary cell closest to the goal
+                # (tangent_bug.rs step 2) — its side of the blocked
+                # direction picks the following hand
+                bnd = boundary_cells_near(cur)
+                if bnd:
+                    dists = [np.hypot(*(g - p)) for p in bnd]
+                    tangent = bnd[int(np.argmin(dists))]
+                else:
+                    tangent = g
+                rel = tangent - cur
+                cross = blocked_dir[0] * rel[1] - blocked_dir[1] * rel[0]
+                hand = 1 if cross >= 0 else -1  # +1 left-hand, −1 right
+                heading = (dirs4.index(tuple(blocked_dir)) - hand) % 4
+                continue
+        else:
+            # hand-rule wall following (rounds corners); `hand` chosen
+            # toward the tangent point at hit time
+            moved = False
+            for k in (hand, 0, -hand, -2 * hand):
+                nd = (heading + k) % 4
+                nxt = cur + np.asarray(dirs4[nd])
+                if free(nxt):
+                    cur = nxt
+                    heading = nd
+                    moved = True
+                    break
+            if not moved:
+                return np.array(path), False
+            direct_free = free(cur + goal_step(cur)[0]) if \
+                goal_step(cur) else False
+            if direct_free and np.hypot(*(g - cur)) < d_reach - 0.5:
+                mode = "goal"
+        path.append(tuple(cur))
+    return np.array(path), False
