@@ -85,3 +85,9 @@ from rust_robotics_tpu.planning.wavefront import (  # noqa: F401
     plan_grid,
     wavefront_costs,
 )
+from rust_robotics_tpu.planning.conformal import (  # noqa: F401
+    calibration_errors_from_trajectories,
+    confidence_field,
+    conformal_sipp_plan,
+    empirical_quantile,
+)
