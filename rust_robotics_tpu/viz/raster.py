@@ -159,3 +159,79 @@ def save_png(frame: Frame, path):
 
     Image.fromarray(frame.rgb).save(str(path))
     return str(path)
+
+
+class SvgCanvas:
+    """Vector twin of `Frame`: world-coordinate draw primitives emitted as
+    SVG elements — the role of the reference's Visualizer save_svg
+    (viz/src/visualizer.rs:111-330) without a gnuplot dependency."""
+
+    def __init__(self, cfg: CanvasConfig):
+        self.cfg = cfg
+        self._elems = []
+
+    def _to_px(self, x, y):
+        cfg = self.cfg
+        u = (float(x) - cfg.x_range[0]) / (cfg.x_range[1] - cfg.x_range[0])
+        v = (float(y) - cfg.y_range[0]) / (cfg.y_range[1] - cfg.y_range[0])
+        return u * cfg.width, (1.0 - v) * cfg.height
+
+    @staticmethod
+    def _css(color):
+        return f"rgb({color[0]},{color[1]},{color[2]})"
+
+    def draw_path(self, xs, ys, color=(0, 0, 255), width=1.5):
+        pts = " ".join(
+            "%.2f,%.2f" % self._to_px(x, y) for x, y in zip(xs, ys)
+        )
+        self._elems.append(
+            f'<polyline points="{pts}" fill="none" '
+            f'stroke="{self._css(color)}" stroke-width="{width}"/>'
+        )
+
+    def draw_circle(self, x, y, radius_world, color=(255, 0, 0),
+                    fill=False):
+        px, py = self._to_px(x, y)
+        r = radius_world * self.cfg.width / (
+            self.cfg.x_range[1] - self.cfg.x_range[0]
+        )
+        f = self._css(color) if fill else "none"
+        self._elems.append(
+            f'<circle cx="{px:.2f}" cy="{py:.2f}" r="{r:.2f}" '
+            f'fill="{f}" stroke="{self._css(color)}"/>'
+        )
+
+    def draw_points(self, xs, ys, color=(0, 0, 0), size=2.0):
+        for x, y in zip(xs, ys):
+            px, py = self._to_px(x, y)
+            self._elems.append(
+                f'<circle cx="{px:.2f}" cy="{py:.2f}" r="{size:.1f}" '
+                f'fill="{self._css(color)}"/>'
+            )
+
+    def draw_robot(self, x, y, yaw, size_world=0.5, color=(0, 128, 0)):
+        import math
+
+        px, py = self._to_px(x, y)
+        hx, hy = self._to_px(
+            x + size_world * math.cos(yaw), y + size_world * math.sin(yaw)
+        )
+        self.draw_circle(x, y, size_world, color)
+        self._elems.append(
+            f'<line x1="{px:.2f}" y1="{py:.2f}" x2="{hx:.2f}" '
+            f'y2="{hy:.2f}" stroke="{self._css(color)}" stroke-width="2"/>'
+        )
+
+    def save(self, path):
+        cfg = self.cfg
+        bg = self._css(cfg.background)
+        body = "\n".join(self._elems)
+        svg = (
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{cfg.width}" '
+            f'height="{cfg.height}">\n'
+            f'<rect width="100%" height="100%" fill="{bg}"/>\n'
+            f"{body}\n</svg>\n"
+        )
+        with open(str(path), "w") as f:
+            f.write(svg)
+        return str(path)
