@@ -10,8 +10,13 @@ from rust_robotics_tpu.control.aerial import (  # noqa: F401
 )
 from rust_robotics_tpu.control.arena import run_controller_arena  # noqa: F401
 from rust_robotics_tpu.control.arm import (  # noqa: F401
+    arm_collides_3d,
     forward_kinematics,
+    forward_kinematics_3d,
+    inverse_kinematics_3d,
+    jacobian_3d,
     resolved_rate_ik,
+    rrt_star_arm_plan,
     two_joint_ik,
 )
 from rust_robotics_tpu.control.cbf import (  # noqa: F401
