@@ -1,0 +1,485 @@
+"""Point-cloud sampling quality experiment suite.
+
+Reference: crates/rust_robotics_mapping/src/experiments/
+point_cloud_sampling_quality/ (mod.rs + 5 variant files, ~1,418 LoC):
+scenario *families* built from three synthetic cloud kinds (LayeredPlane,
+TwinClusterBridge, RingWithOutliers; mod.rs:44-48) with structured
+corruptions (SlabDrop / DensityShift / SectorDrop; mod.rs:50-70), six
+process problems (point_cloud_sampling / occlusion_corruption /
+density_shift / anisotropic_noise / sparse_outlier_burst /
+resolution_ladder; mod.rs:174-487), three samplers compared per cloud
+(voxel grid over a spacing-factor sweep, farthest-point, Poisson disk over
+a min-distance sweep; mod.rs:1071-1106), a composite quality score
+(coverage + 0.25·support + 0.45·count-error + 0.12/spacing +
+0.08·centroid; mod.rs:1108-1129, lower is better), and five aggregation
+*variants* that pick scenario slots per (family, bucket) — full-bucket,
+first-scenario, sampled-bucket, percentile-bucket, variance-triggered with
+escalation on vote split / close ratio margin (mod.rs:503-:704).
+
+TPU-native shape: the reference builds each cloud point-by-point and scores
+samplers with O(N·M) nested loops. Here every scenario slot of a
+(case, bucket) cell generates as one vmapped fixed-shape [P, 3] cloud with
+a validity mask (drops/outlier-count changes are mask edits, not shape
+changes), all three samplers select *subset masks* over the same padded
+array, and the score's nearest-distance terms are masked [P, P] distance
+matrices on the MXU. The per-(family, bucket, slot) score cache the
+reference memoizes in a HashMap is literally one [slots, 3] tensor per
+cell; aggregation variants then just index it (the expensive compute is
+shared across variants, unlike the reference which re-reads its cache
+per variant).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rust_robotics_tpu.mapping.cluster import (
+    farthest_point_sample,
+    poisson_disk_sample,
+    voxel_sample_mask,
+)
+from rust_robotics_tpu.utils.experiments import VariantDescriptor
+
+__all__ = [
+    "CloudCase", "PointSamplingObservation", "PROCESS_PROBLEMS",
+    "score_sample_quality", "slot_scores_for_cell",
+    "run_point_cloud_sampling_quality", "AGGREGATION_VARIANTS",
+]
+
+_METHODS = ("Voxel", "FarthestPoint", "PoissonDisk")
+_VOXEL_FACTORS = (0.35, 0.55, 0.85, 1.30, 2.0)
+_POISSON_FACTORS = (0.10, 0.20, 0.35, 0.60, 1.0, 1.45)
+
+
+@dataclasses.dataclass(frozen=True)
+class CloudCase:
+    """mod.rs:74-87 PointSamplingExperimentCase analog (corruption params
+    flattened; `kind` ∈ layered_plane|twin_cluster|ring)."""
+
+    family_name: str
+    buckets: Tuple[int, ...]
+    base_point_count: int = 192
+    kind: str = "layered_plane"
+    base_jitter_scale: float = 0.08
+    base_outlier_fraction: float = 0.04
+    extra_noise_scales: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    corruption: str = "none"  # none|slab_drop|density_shift|sector_drop
+    corruption_axis: int = 0
+    corruption_center: float = 0.0
+    corruption_half_width: float = 3.0
+    drop_probability: float = 0.0
+    dense_duplicate_probability: float = 0.0
+    sparse_keep_probability: float = 1.0
+    sector_start: float = 0.0
+    sector_end: float = 0.0
+    burst_slots: Tuple[int, ...] = ()
+    burst_noise_scales: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    burst_outlier_multiplier: float = 1.0
+
+
+def _default_problems() -> Dict[str, List[CloudCase]]:
+    """The six process problems (mod.rs:174-487), one representative case
+    per cloud kind where the reference enumerates several."""
+    return {
+        "point_cloud_sampling": [
+            CloudCase("plane_baseline", (48, 96), kind="layered_plane"),
+            CloudCase("ring_baseline", (48, 96), kind="ring",
+                      base_outlier_fraction=0.06),
+        ],
+        "occlusion_corruption": [
+            CloudCase("plane_slab_occlusion", (48, 96),
+                      kind="layered_plane", corruption="slab_drop",
+                      corruption_axis=0, corruption_center=4.0,
+                      corruption_half_width=4.0, drop_probability=0.8),
+            CloudCase("ring_sector_occlusion", (48, 96), kind="ring",
+                      corruption="sector_drop", sector_start=0.4,
+                      sector_end=1.8, drop_probability=0.9),
+        ],
+        "density_shift": [
+            CloudCase("twin_density_shift", (48, 96), kind="twin_cluster",
+                      corruption="density_shift", corruption_axis=0,
+                      corruption_center=-7.0, corruption_half_width=4.0,
+                      dense_duplicate_probability=0.5,
+                      sparse_keep_probability=0.55),
+        ],
+        "anisotropic_noise": [
+            CloudCase("plane_aniso", (48, 96), kind="layered_plane",
+                      extra_noise_scales=(0.02, 0.3, 0.9)),
+            CloudCase("twin_aniso", (48, 96), kind="twin_cluster",
+                      extra_noise_scales=(0.5, 0.05, 0.4)),
+        ],
+        "sparse_outlier_burst": [
+            CloudCase("ring_burst", (48, 96), kind="ring",
+                      base_outlier_fraction=0.03, burst_slots=(2, 5, 8),
+                      burst_noise_scales=(0.3, 0.3, 0.2),
+                      burst_outlier_multiplier=3.0),
+        ],
+        "resolution_ladder": [
+            CloudCase("plane_ladder", (24, 48, 96, 144),
+                      kind="layered_plane"),
+        ],
+    }
+
+
+PROCESS_PROBLEMS = _default_problems()
+
+
+# ---------------------------------------------------------------------------
+# Cloud generation (mod.rs:705-:900) — fixed-shape, mask-valid
+# ---------------------------------------------------------------------------
+
+def _gen_structure(key, kind: str, n: int, jitter, phase):
+    """Structured points [n, 3] for one cloud kind."""
+    ks, kj = jax.random.split(key)
+    i = jnp.arange(n)
+    if kind == "layered_plane":
+        side = max(int(np.sqrt(n / 2)), 2)
+        layer = i // (side * side)
+        rem = i % (side * side)
+        ix, iy = rem // side, rem % side
+        x = -12.0 + 24.0 * ix / max(side - 1, 1)
+        y = -12.0 + 24.0 * iy / max(side - 1, 1)
+        z = layer * 1.8 + 0.25 * jnp.sin(0.22 * x + phase)
+        pts = jnp.stack([x, y, z], -1)
+    elif kind == "twin_cluster":
+        nb = n // 6
+        nc = (n - nb) // 2
+        u = jax.random.uniform(ks, (n, 3), minval=-1.0, maxval=1.0)
+        left = jnp.stack([-7.0 + 2.4 * u[:, 0], -2.0 + 2.6 * u[:, 1],
+                          1.0 + 1.5 * u[:, 2]], -1)
+        right = jnp.stack([7.0 + 2.2 * u[:, 0], 2.0 + 2.3 * u[:, 1],
+                           -0.8 + 1.3 * u[:, 2]], -1)
+        t = jnp.clip((i - 2 * nc) / max(nb - 1, 1), 0.0, 1.0)
+        bridge = jnp.stack([
+            -4.5 + 9.0 * t,
+            1.4 * jnp.sin(2 * jnp.pi * t + phase),
+            0.9 * jnp.cos(jnp.pi * t + 0.5 * phase)], -1)
+        pts = jnp.where((i < nc)[:, None], left,
+                        jnp.where((i < 2 * nc)[:, None], right, bridge))
+    elif kind == "ring":
+        nr = n * 3 // 4
+        t = i / max(nr, 1)
+        theta = 2 * jnp.pi * t
+        radius = 8.0 + 1.2 * jnp.sin(5 * theta + phase)
+        ring = jnp.stack([radius * jnp.cos(theta), radius * jnp.sin(theta),
+                          1.5 * jnp.cos(0.5 * theta + phase)], -1)
+        u = jax.random.uniform(ks, (n, 3))
+        th = 2 * jnp.pi * u[:, 0]
+        rr = 3.0 * u[:, 1]
+        core = jnp.stack([rr * jnp.cos(th), rr * jnp.sin(th),
+                          -1.5 + 3.0 * u[:, 2]], -1)
+        pts = jnp.where((i < nr)[:, None], ring, core)
+    else:
+        raise ValueError(f"unknown cloud kind {kind!r}")
+    return pts + jitter * jax.random.normal(kj, (n, 3))
+
+
+@functools.partial(jax.jit, static_argnames=("case", "bucket", "n_slots"))
+def _generate_cell_clouds(key, case: CloudCase, bucket: int, n_slots: int):
+    """All scenario-slot clouds of one (case, bucket) cell:
+    (points [S, P, 3], valid [S, P]) with P = structure + outlier slots."""
+    n = case.base_point_count
+    n_out_max = max(int(n * case.base_outlier_fraction
+                        * case.burst_outlier_multiplier * 2.5), 4)
+
+    def one_slot(k, slot):
+        ks, kc, ko, kb = jax.random.split(k, 4)
+        burst = jnp.any(jnp.asarray(
+            [slot == b for b in case.burst_slots] or [False]))
+        jitter = (case.base_jitter_scale * (1.0 + bucket / 260.0)
+                  * (1.0 + slot / 40.0)
+                  * jnp.where(burst, 1.10 + bucket / 900.0, 1.0))
+        phase = slot * 0.17
+        pts = _gen_structure(ks, case.kind, n, jitter, phase)
+        # per-axis extra noise (anisotropic family); bursts add more
+        scales = jnp.asarray(case.extra_noise_scales)
+        scales = scales + jnp.where(
+            burst, jnp.asarray(case.burst_noise_scales), 0.0)
+        pts = pts + scales[None, :] * jax.random.normal(kc, (n, 3))
+
+        valid = jnp.ones((n,), bool)
+        u = jax.random.uniform(ko, (n,))
+        if case.corruption == "slab_drop":
+            inside = jnp.abs(pts[:, case.corruption_axis]
+                             - case.corruption_center) < case.corruption_half_width
+            valid &= ~(inside & (u < case.drop_probability))
+        elif case.corruption == "sector_drop":
+            ang = jnp.arctan2(pts[:, 1], pts[:, 0]) % (2 * jnp.pi)
+            inside = (ang > case.sector_start) & (ang < case.sector_end)
+            valid &= ~(inside & (u < case.drop_probability))
+        elif case.corruption == "density_shift":
+            inside = jnp.abs(pts[:, case.corruption_axis]
+                             - case.corruption_center) < case.corruption_half_width
+            # sparse side: keep with probability sparse_keep_probability;
+            # dense side: duplicates land in the outlier slot budget below
+            valid &= inside | (u < case.sparse_keep_probability)
+
+        # uniform outliers, count scaled by bucket (mod.rs:732-:735)
+        n_outliers = jnp.round(
+            n * case.base_outlier_fraction * (0.6 + bucket / 300.0)
+            * jnp.where(burst, case.burst_outlier_multiplier, 1.0)
+        ).astype(jnp.int32)
+        box = jnp.asarray([18.0, 18.0, 6.0])
+        extra = jax.random.uniform(kb, (n_out_max, 3), minval=-1.0,
+                                   maxval=1.0) * box[None, :]
+        if case.corruption == "density_shift":
+            # dense-region duplicates instead of pure outliers
+            kd1, kd2 = jax.random.split(kb)
+            src = jax.random.randint(kd1, (n_out_max,), 0, n)
+            dup = pts[src] + 0.05 * jax.random.normal(kd2, (n_out_max, 3))
+            inside_src = jnp.abs(dup[:, case.corruption_axis]
+                                 - case.corruption_center) < case.corruption_half_width
+            n_dup = jnp.round(
+                n * case.dense_duplicate_probability * 0.2).astype(jnp.int32)
+            extra = jnp.where(inside_src[:, None], dup, extra)
+            n_outliers = jnp.maximum(n_outliers, n_dup)
+        extra_valid = jnp.arange(n_out_max) < n_outliers
+        return (jnp.concatenate([pts, extra], 0),
+                jnp.concatenate([valid, extra_valid], 0))
+
+    keys = jax.random.split(key, n_slots)
+    return jax.vmap(one_slot)(keys, jnp.arange(n_slots))
+
+
+# ---------------------------------------------------------------------------
+# Scoring (mod.rs:1071-:1199) — masked distance matrices
+# ---------------------------------------------------------------------------
+
+def _masked_nn_mean(a, a_mask, b, b_mask):
+    """Mean over masked a of min distance to masked b."""
+    d = jnp.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
+    d = jnp.where(b_mask[None, :], d, jnp.inf)
+    nn = jnp.min(d, axis=1)
+    return jnp.sum(jnp.where(a_mask, nn, 0.0)) / jnp.maximum(
+        jnp.sum(a_mask), 1)
+
+
+def score_sample_quality(points, valid, sel, target_count):
+    """Composite sampler-quality score (mod.rs:1108 `score_sample_quality`,
+    lower is better): coverage + 0.25·support + 0.45·count-error +
+    0.12/spacing + 0.08·centroid; `sel` is the selected-subset mask."""
+    n_sel = jnp.sum(sel)
+    coverage = _masked_nn_mean(points, valid, points, sel)
+    support = _masked_nn_mean(points, sel, points, valid)
+    d = jnp.linalg.norm(points[:, None, :] - points[None, :, :], axis=-1)
+    off = sel[None, :] & ~jnp.eye(points.shape[0], dtype=bool)
+    nn = jnp.min(jnp.where(off, d, jnp.inf), axis=1)
+    spacing = jnp.sum(jnp.where(sel, nn, 0.0)) / jnp.maximum(n_sel, 1)
+    spacing = jnp.where(n_sel <= 1, 1e-6, spacing)
+    count_err = jnp.abs(n_sel - target_count) / jnp.maximum(target_count, 1)
+    cen_o = (jnp.sum(jnp.where(valid[:, None], points, 0.0), 0)
+             / jnp.maximum(jnp.sum(valid), 1))
+    cen_s = (jnp.sum(jnp.where(sel[:, None], points, 0.0), 0)
+             / jnp.maximum(n_sel, 1))
+    centroid = jnp.linalg.norm(cen_o - cen_s)
+    score = (coverage + 0.25 * support + 0.45 * count_err
+             + 0.12 / jnp.maximum(spacing, 1e-6) + 0.08 * centroid)
+    return jnp.where(n_sel == 0, jnp.inf, score)
+
+
+def _characteristic_spacing(points, valid, target_count):
+    """Bounding-box extent / target^(1/3) (mod.rs:1188)."""
+    big = 1e9
+    mn = jnp.min(jnp.where(valid[:, None], points, big), 0)
+    mx = jnp.max(jnp.where(valid[:, None], points, -big), 0)
+    extent = jnp.maximum(jnp.linalg.norm(mx - mn), 1e-3)
+    return extent / jnp.maximum(jnp.maximum(target_count, 1.0) ** (1 / 3),
+                                1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("target_count", "max_iter"))
+def _score_cloud(key, points, valid, target_count: int, max_iter: int):
+    """(voxel, fps, poisson) best scores for one cloud — the slot-cache
+    entry (mod.rs:756 `build_slot_sample_cache`). Factor sweeps vmap."""
+    spacing = _characteristic_spacing(points, valid, float(target_count))
+    far = points + jnp.where(valid[:, None], 0.0, 1e6)  # exile invalid
+
+    def voxel_one(factor):
+        sel = voxel_sample_mask(far, jnp.maximum(spacing * factor, 1e-4))
+        return score_sample_quality(points, valid, sel & valid, target_count)
+
+    vox = jnp.min(jax.vmap(voxel_one)(jnp.asarray(_VOXEL_FACTORS)))
+
+    idx = farthest_point_sample(points, target_count, valid=valid)
+    sel_f = jnp.zeros((points.shape[0],), bool).at[idx].set(True) & valid
+    fps = score_sample_quality(points, valid, sel_f, target_count)
+
+    def poisson_one(k, factor):
+        sel = poisson_disk_sample(
+            k, points, target_count,
+            jnp.maximum(spacing * factor, 1e-6), max_iter, valid=valid)
+        return score_sample_quality(points, valid, sel, target_count)
+
+    kp = jax.random.split(key, len(_POISSON_FACTORS))
+    poi = jnp.min(jax.vmap(poisson_one)(kp, jnp.asarray(_POISSON_FACTORS)))
+    return jnp.stack([vox, fps, poi])
+
+
+def slot_scores_for_cell(key, case: CloudCase, bucket: int, n_slots: int,
+                         max_iter: Optional[int] = None):
+    """[n_slots, 3] (voxel, fps, poisson) score tensor for one
+    (case, bucket) cell — computed once, shared by every variant."""
+    target = int(np.clip(bucket, 8, case.base_point_count))
+    kgen, kscore = jax.random.split(
+        jax.random.fold_in(jax.random.fold_in(key, hash(case.family_name)
+                                              % (2**31)), bucket))
+    pts, valid = _generate_cell_clouds(kgen, case, bucket, n_slots)
+    mi = max_iter if max_iter is not None else 8 * pts.shape[1]
+    keys = jax.random.split(kscore, n_slots)
+    return jax.vmap(
+        lambda k, p, v: _score_cloud(k, p, v, target, mi)
+    )(keys, pts, valid)
+
+
+# ---------------------------------------------------------------------------
+# Observations + aggregation variants (mod.rs:89-:160, :488-:704)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PointSamplingObservation:
+    """mod.rs:89 PointSamplingObservation analog."""
+
+    family_name: str
+    bucket: int
+    total_scenarios: int
+    initial_slots: Tuple[int, ...]
+    selected_slots: Tuple[int, ...]
+    escalated: bool
+    median_scores: Tuple[float, float, float]  # voxel, fps, poisson
+    min_scores: Tuple[float, float, float]
+    max_scores: Tuple[float, float, float]
+    wins: Tuple[int, int, int]
+
+    def winner(self) -> str:
+        return _METHODS[int(np.argmin(self.median_scores))]
+
+    def runner_up_over_best(self) -> float:
+        s = sorted(self.median_scores)
+        return s[1] / max(s[0], 1e-9)
+
+    def coverage_ratio(self) -> float:
+        return len(self.selected_slots) / self.total_scenarios
+
+    def comparison_key(self):
+        return (self.family_name, self.bucket)
+
+
+@dataclasses.dataclass(frozen=True)
+class AggregationVariant:
+    """One slot-selection policy (the 5 sibling files of mod.rs)."""
+
+    descriptor: VariantDescriptor
+    initial: str  # all|first|strided|percentile
+    stride: int = 3
+    percentiles: Tuple[float, ...] = (0.0, 0.25, 0.5, 0.75, 1.0)
+    escalate_on_vote_split: bool = False
+    escalate_ratio_margin: Optional[float] = None
+
+    def initial_slots(self, n: int) -> List[int]:
+        if self.initial == "all":
+            return list(range(n))
+        if self.initial == "first":
+            return [0]
+        if self.initial == "strided":
+            return sorted(set(range(0, n, self.stride)))
+        if self.initial == "percentile":
+            return sorted({int(round(p * (n - 1))) for p in self.percentiles})
+        raise ValueError(self.initial)
+
+
+AGGREGATION_VARIANTS = (
+    AggregationVariant(VariantDescriptor("full-bucket", "every slot"),
+                       "all"),
+    AggregationVariant(VariantDescriptor("first-scenario", "slot 0 only"),
+                       "first"),
+    AggregationVariant(VariantDescriptor("sampled-bucket", "strided slots"),
+                       "strided", stride=3),
+    AggregationVariant(
+        VariantDescriptor("percentile-bucket", "percentile spread"),
+        "percentile"),
+    AggregationVariant(
+        VariantDescriptor("variance-triggered",
+                          "adaptive two-stage escalation"),
+        "percentile", percentiles=(0.0, 0.5),
+        escalate_on_vote_split=True, escalate_ratio_margin=0.06),
+)
+
+
+def _observe(scores: np.ndarray, variant: AggregationVariant,
+             family: str, bucket: int) -> PointSamplingObservation:
+    """measure_bucket_observation (mod.rs:550) over the precomputed
+    [S, 3] score tensor."""
+    n = scores.shape[0]
+    init = variant.initial_slots(n)
+    selected = list(init)
+    escalated = False
+    sub = scores[np.asarray(init)]
+    winners = np.argmin(sub, axis=1)
+    vote_split = len(np.unique(winners)) > 1
+    srt = np.sort(sub, axis=1)
+    ratios = srt[:, 1] / np.maximum(srt[:, 0], 1e-9)
+    ratio_close = (variant.escalate_ratio_margin is not None
+                   and abs(float(np.median(ratios)) - 1.0)
+                   < variant.escalate_ratio_margin)
+    if ((variant.escalate_on_vote_split and vote_split) or ratio_close) \
+            and len(selected) < n:
+        selected = list(range(n))
+        escalated = True
+    sub = scores[np.asarray(selected)]
+    med = tuple(float(x) for x in np.median(sub, axis=0))
+    wins = np.bincount(np.argmin(sub, axis=1), minlength=3)
+    return PointSamplingObservation(
+        family_name=family, bucket=bucket, total_scenarios=n,
+        initial_slots=tuple(init), selected_slots=tuple(selected),
+        escalated=escalated, median_scores=med,
+        min_scores=tuple(float(x) for x in np.min(sub, axis=0)),
+        max_scores=tuple(float(x) for x in np.max(sub, axis=0)),
+        wins=tuple(int(w) for w in wins))
+
+
+def run_point_cloud_sampling_quality(
+        seed: int = 0,
+        problems: Optional[Dict[str, List[CloudCase]]] = None,
+        scenarios_per_bucket: int = 10,
+        variants: Sequence[AggregationVariant] = AGGREGATION_VARIANTS,
+        max_iter: Optional[int] = None):
+    """run_variant_suite (mod.rs:503): per-variant observation lists over
+    every (case, bucket) cell + agreement stats vs the full-bucket
+    reference variant. Returns {variant_name: {"observations": [...],
+    "agreement_vs_reference": float, "mean_ratio_error_vs_reference":
+    float, "average_coverage_ratio": float}}."""
+    problems = problems if problems is not None else PROCESS_PROBLEMS
+    key = jax.random.PRNGKey(seed)
+    cells = []  # (case, bucket, scores [S,3])
+    for cases in problems.values():
+        for case in cases:
+            for bucket in case.buckets:
+                scores = np.asarray(slot_scores_for_cell(
+                    key, case, bucket, scenarios_per_bucket,
+                    max_iter=max_iter))
+                cells.append((case, bucket, scores))
+
+    reports = {}
+    for variant in variants:
+        obs = [_observe(s, variant, c.family_name, b) for c, b, s in cells]
+        reports[variant.descriptor.name] = {
+            "observations": obs,
+            "average_coverage_ratio": float(np.mean(
+                [o.coverage_ratio() for o in obs])),
+        }
+    ref = reports["full-bucket"]["observations"]
+    for name, rep in reports.items():
+        agree = np.mean([o.winner() == r.winner()
+                         for o, r in zip(rep["observations"], ref)])
+        ratio_err = np.mean(
+            [abs(o.runner_up_over_best() - r.runner_up_over_best())
+             for o, r in zip(rep["observations"], ref)])
+        rep["agreement_vs_reference"] = float(agree)
+        rep["mean_ratio_error_vs_reference"] = float(ratio_err)
+    return reports

@@ -14,6 +14,7 @@ from rust_robotics_tpu.mapping.cluster import (  # noqa: F401
     fit_circle,
     fit_rectangle,
     kmeans,
+    poisson_disk_sample,
     voxel_sample_mask,
 )
 from rust_robotics_tpu.mapping.ndt import ndt_score  # noqa: F401

@@ -171,16 +171,18 @@ def voxel_sample_mask(points, voxel_size):
     return mask
 
 
-def farthest_point_sample(points, num_samples, start: int = 0):
-    """FPS indices [num_samples] via running min-distance field."""
+def farthest_point_sample(points, num_samples, start: int = 0, valid=None):
+    """FPS indices [num_samples] via running min-distance field. `valid`
+    masks padded points out of selection (their distance is pinned -inf)."""
     n = points.shape[0]
+    gate = jnp.ones((n,), bool) if valid is None else valid
 
     def body(i, carry):
         idx, mind = carry
         last = points[idx[i - 1]]
         d = jnp.sum((points - last) ** 2, axis=-1)
         mind = jnp.minimum(mind, d)
-        nxt = jnp.argmax(mind)
+        nxt = jnp.argmax(jnp.where(gate, mind, -jnp.inf)).astype(jnp.int32)
         return idx.at[i].set(nxt), mind
 
     idx0 = jnp.zeros((num_samples,), jnp.int32).at[0].set(start)
@@ -192,3 +194,38 @@ def farthest_point_sample(points, num_samples, start: int = 0):
 def random_sample(key, points, num_samples):
     idx = jax.random.choice(key, points.shape[0], (num_samples,), replace=False)
     return idx
+
+
+def poisson_disk_sample(key, points, n_points, min_distance,
+                        max_iter: int, valid=None):
+    """Poisson-disk (dart-throwing) subset mask [N]
+    (point_cloud_sampling.rs:129 `poisson_disk_sampling`): start from a
+    random point, then propose `max_iter` random candidates, accepting one
+    when its distance to every already-selected point is >= min_distance
+    and fewer than `n_points` are selected.
+
+    Fixed-shape TPU form: one lax.scan over proposals carrying the
+    selected mask; the min-distance test is a masked reduction over all N
+    points. `valid` masks padded/dropped points out of candidacy.
+    """
+    n = points.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    k0, kseq = jax.random.split(key)
+    # first selected: a random valid index
+    p0 = jnp.where(valid, 1.0, 0.0)
+    first = jax.random.categorical(k0, jnp.log(p0 + 1e-30))
+    sel0 = jnp.zeros((n,), bool).at[first].set(True)
+    cands = jax.random.randint(kseq, (max_iter,), 0, n)
+
+    def step(carry, cand):
+        sel, count = carry
+        base = points[cand]
+        d = jnp.linalg.norm(points - base[None, :], axis=-1)
+        dmin = jnp.min(jnp.where(sel, d, jnp.inf))
+        ok = (dmin >= min_distance) & (count < n_points) & valid[cand]
+        sel = sel.at[cand].set(sel[cand] | ok)
+        return (sel, count + ok.astype(count.dtype)), None
+
+    (sel, _), _ = jax.lax.scan(step, (sel0, jnp.int32(1)), cands)
+    return sel
