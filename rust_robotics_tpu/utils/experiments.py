@@ -78,3 +78,17 @@ def annotate_against_reference(reports: List[ExperimentVariantReport],
             k: rep.summary[k] - ref.summary[k] for k in rep.summary
         }
     return reports
+
+
+def sign_test_p_value(wins: int, losses: int) -> float:
+    """One-sided exact binomial sign test (ties excluded): probability of
+    >= `wins` successes in `wins + losses` fair coin flips. The paired
+    significance machinery behind the reference's planner comparisons
+    (crates/rust_robotics_planning/tests/any_angle_statistical_test.rs —
+    the README.md:407 "p = 0.025" claim)."""
+    import math
+
+    n = wins + losses
+    if n == 0:
+        return 1.0
+    return sum(math.comb(n, k) for k in range(wins, n + 1)) / 2.0 ** n
