@@ -2,6 +2,7 @@
 arena, orbax checkpointing."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from rust_robotics_tpu.control.arena import run_controller_arena
@@ -87,3 +88,89 @@ def test_checkpoint_roundtrip(tmp_path):
     restored = load_checkpoint(tmp_path, 7, state)
     np.testing.assert_allclose(restored["mean"], state["mean"])
     np.testing.assert_allclose(restored["cov"], state["cov"])
+
+
+class TestProfilingUtils:
+    """utils/profiling.py: determinism + finiteness aux (SURVEY §5)."""
+
+    def test_assert_deterministic_passes_for_pure_fn(self):
+        from rust_robotics_tpu.utils.profiling import assert_deterministic
+        import jax, jax.numpy as jnp
+
+        f = jax.jit(lambda k: jax.random.normal(k, (8,)))
+        out = assert_deterministic(f, jax.random.PRNGKey(0), runs=3)
+        assert out.shape == (8,)
+
+    def test_assert_deterministic_catches_impure_fn(self):
+        from rust_robotics_tpu.utils.profiling import assert_deterministic
+        import numpy as np, pytest
+
+        state = {"n": 0}
+
+        def impure():
+            state["n"] += 1
+            return np.full((3,), float(state["n"]))
+
+        with pytest.raises(AssertionError):
+            assert_deterministic(impure)
+
+    def test_nan_guard(self):
+        from rust_robotics_tpu.utils.profiling import (guard_finite,
+                                                       nan_report)
+        import jax.numpy as jnp, pytest
+
+        good = {"a": jnp.ones(3), "b": jnp.zeros((2, 2))}
+        assert nan_report(good) == {}
+        assert guard_finite(good) is good
+        bad = {"a": jnp.array([1.0, jnp.nan, jnp.inf])}
+        rep = nan_report(bad)
+        assert sum(rep.values()) == 2
+        with pytest.raises(FloatingPointError):
+            guard_finite(bad, "belief")
+
+    def test_wall_time_ms_positive(self):
+        from rust_robotics_tpu.utils.profiling import wall_time_ms
+        import jax, jax.numpy as jnp
+
+        f = jax.jit(lambda: jnp.ones((64, 64)) @ jnp.ones((64, 64)))
+        assert wall_time_ms(f, runs=3) > 0.0
+
+
+def test_dataflow_path_planning_graph():
+    """demos/dataflow.py: the dora_path_planning_dataflow.yml graph runs
+    deterministically; metrics agree with sink reports."""
+    from rust_robotics_tpu.demos.dataflow import run_path_planning_dataflow
+
+    reports, metrics = run_path_planning_dataflow(3)
+    assert len(reports) == 3 and len(metrics) == 3
+    for rep, met in zip(reports, metrics):
+        assert rep["found"]
+        assert met["waypoint_count"] == len(rep["waypoints"])
+        assert met["euclidean_length"] == pytest.approx(rep["cost"],
+                                                        rel=1e-5)
+    # deterministic: a second run produces identical reports
+    reports2, _ = run_path_planning_dataflow(3)
+    assert reports == reports2
+
+
+def test_dataflow_validates_wiring():
+    from rust_robotics_tpu.demos.dataflow import (Dataflow, DataflowSpec,
+                                                  NodeSpec)
+
+    bad = DataflowSpec([NodeSpec("n", {"x": "ghost/out"}, [], lambda e: None)])
+    with pytest.raises(ValueError):
+        Dataflow(bad)
+    undeclared = DataflowSpec([
+        NodeSpec("n", {"tick": "timer/millis/100"}, [],
+                 lambda e: {"oops": 1})])
+    with pytest.raises(ValueError):
+        Dataflow(undeclared).step()
+
+
+def test_dataflow_ekf_node_converges():
+    from rust_robotics_tpu.demos.dataflow import build_ekf_dataflow
+
+    flow, est = build_ekf_dataflow()
+    flow.run(40)
+    assert len(est) == 40
+    assert est[-1]["position_error"] < 0.5
