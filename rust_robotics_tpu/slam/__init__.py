@@ -34,3 +34,13 @@ from rust_robotics_tpu.slam.scan_matching import (  # noqa: F401
     robust_icp,
 )
 from rust_robotics_tpu.slam.vio import run_vio_pipeline  # noqa: F401
+from rust_robotics_tpu.slam.slam_node import (  # noqa: F401
+    IcpGatingParams,
+    REASONS,
+    append_and_prune,
+    blend_motion_delta,
+    compute_icp_blend_decision,
+    run_slam_node_loop,
+    scan_to_points,
+    subsample_stride,
+)
