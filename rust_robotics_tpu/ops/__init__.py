@@ -4,3 +4,7 @@ from rust_robotics_tpu.ops.smallmat import (  # noqa: F401
     inv_spd_small,
     solve_spd_small,
 )
+from rust_robotics_tpu.ops.resample_pallas import (  # noqa: F401
+    resample_reference,
+    systematic_resample_gather,
+)

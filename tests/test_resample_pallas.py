@@ -1,0 +1,79 @@
+"""Pallas systematic-resampling kernel parity vs the jnp oracle
+(interpret mode on CPU) — the BASELINE.json "resampling kernel"."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rust_robotics_tpu.filters.particle import systematic_resample
+from rust_robotics_tpu.ops.resample_pallas import (
+    resample_reference,
+    systematic_resample_gather,
+)
+
+
+def _case(key, b=4, p=256, d=4, skew=1.0):
+    k1, k2, k3 = jax.random.split(key, 3)
+    w = jax.random.uniform(k1, (b, p), jnp.float32) ** skew + 1e-6
+    u = jax.random.uniform(k2, (b,), jnp.float32)
+    s = jax.random.normal(k3, (b, d, p), jnp.float32)
+    return w, u, s
+
+
+def test_kernel_matches_reference_indices_and_gather():
+    w, u, s = _case(jax.random.PRNGKey(0))
+    ns_k, idx_k, neff_k = systematic_resample_gather(w, u, s,
+                                                     interpret=True)
+    ns_r, idx_r, neff_r = resample_reference(w, u, s)
+    np.testing.assert_array_equal(np.asarray(idx_k), np.asarray(idx_r))
+    np.testing.assert_allclose(np.asarray(ns_k), np.asarray(ns_r),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(neff_k), np.asarray(neff_r),
+                               rtol=1e-5)
+
+
+def test_kernel_matches_particle_module_semantics():
+    """Same inverse-CDF rule as filters.particle.systematic_resample when
+    fed the same single uniform."""
+    w, u, s = _case(jax.random.PRNGKey(1), b=2, p=128, skew=3.0)
+    _, idx_k, _ = systematic_resample_gather(w, u, s, interpret=True)
+    wn = w / w.sum(axis=-1, keepdims=True)
+
+    class _FixedU:
+        pass
+
+    # systematic_resample draws u internally; replicate its math directly
+    p = w.shape[-1]
+    pos = (jnp.arange(p, dtype=w.dtype)[None] + u[:, None]) / p
+    cum = jnp.cumsum(wn, axis=-1)
+    cum = cum / cum[..., -1:]
+    idx_m = jax.vmap(
+        lambda c, q: jnp.searchsorted(c, q, side="left"))(cum, pos)
+    np.testing.assert_array_equal(np.asarray(idx_k),
+                                  np.clip(np.asarray(idx_m), 0, p - 1))
+
+
+def test_degenerate_weight_concentration():
+    """All mass on one particle -> every output is that particle."""
+    b, p, d = 2, 128, 3
+    w = jnp.full((b, p), 1e-12).at[:, 37].set(1.0)
+    u = jnp.array([0.25, 0.75], jnp.float32)
+    s = jax.random.normal(jax.random.PRNGKey(2), (b, d, p), jnp.float32)
+    ns, idx, neff = systematic_resample_gather(w, u, s, interpret=True)
+    assert np.all(np.asarray(idx) == 37)
+    np.testing.assert_allclose(np.asarray(ns),
+                               np.broadcast_to(np.asarray(s)[:, :, 37:38],
+                                               (b, d, p)), atol=1e-6)
+    assert np.all(np.asarray(neff) < 1.5)
+
+
+def test_uniform_weights_identity_permutation():
+    """Equal weights: systematic resampling returns each particle once."""
+    b, p, d = 1, 128, 2
+    w = jnp.ones((b, p), jnp.float32)
+    u = jnp.array([0.5], jnp.float32)
+    s = jax.random.normal(jax.random.PRNGKey(3), (b, d, p), jnp.float32)
+    ns, idx, neff = systematic_resample_gather(w, u, s, interpret=True)
+    np.testing.assert_array_equal(np.sort(np.asarray(idx[0])),
+                                  np.arange(p))
+    np.testing.assert_allclose(float(neff[0]), p, rtol=1e-5)
