@@ -198,6 +198,141 @@ def _add_damping(h, damping):
     return h + jnp.diag(damping * jnp.maximum(jnp.abs(d), 1.0))
 
 
+def _linearize_matfree(problem: Problem, values_tuple, dtype):
+    """Linearize WITHOUT assembling H: returns (jac_cache, grad, cost,
+    fixed_diag, diag_blocks). jac_cache holds per-block (jacs, w, wr);
+    diag_blocks holds per-group [N, t, t] Hessian diagonal blocks (the
+    block-Jacobi preconditioner data, sparse.rs:115). Memory is O(edges),
+    never O(params²) — the path that makes 10k-pose graphs (30k params,
+    a 7 GB dense H) feasible."""
+    gv = {g.name: v for g, v in zip(problem.groups, values_tuple)}
+    offsets, total = problem.layout()
+    groups = {g.name: g for g in problem.groups}
+    grad = jnp.zeros((total,), dtype=dtype)
+    cost = 0.0
+    diag_blocks = {
+        g.name: jnp.zeros((g.num, g.tdim, g.tdim), dtype=dtype)
+        for g in problem.groups
+    }
+    cache = []
+    for block in problem.factors:
+        r, jacs = _block_jacobians(problem, block, gv)
+        wr, e2, val, w = _weighted(block, r)
+        cost = cost + 0.5 * jnp.sum(val)
+        for k, gname in enumerate(block.groups):
+            fixed = groups[gname].fixed()[block.indices[:, k]]
+            jacs[k] = jnp.where(fixed[:, None, None], 0.0, jacs[k])
+        cache.append((tuple(jacs), w))
+        for k_i, gname_i in enumerate(block.groups):
+            g_i = groups[gname_i]
+            ti = g_i.tdim
+            rows = (offsets[gname_i] + block.indices[:, k_i] * ti)[:, None] \
+                + jnp.arange(ti)[None, :]
+            grad = grad.at[rows].add(
+                w[:, None] * jnp.einsum("fri,fr->fi", jacs[k_i], wr))
+            lam_jk = (jacs[k_i] if block.information is None else
+                      jnp.einsum("fij,fjk->fik", block.information,
+                                 jacs[k_i]))
+            contrib = w[:, None, None] * jnp.einsum(
+                "fri,frj->fij", jacs[k_i], lam_jk)
+            diag_blocks[gname_i] = diag_blocks[gname_i].at[
+                block.indices[:, k_i]].add(contrib)
+
+    fixed_diag = jnp.zeros((total,), dtype=bool)
+    for g in problem.groups:
+        off = offsets[g.name]
+        idx = off + jnp.arange(g.num)[:, None] * g.tdim \
+            + jnp.arange(g.tdim)[None, :]
+        fixed_diag = fixed_diag.at[idx].set(
+            jnp.broadcast_to(g.fixed()[:, None], (g.num, g.tdim)))
+        # fixed variables get identity diagonal blocks
+        eye = jnp.eye(g.tdim, dtype=dtype)
+        diag_blocks[g.name] = jnp.where(
+            g.fixed()[:, None, None], eye[None], diag_blocks[g.name])
+    grad = jnp.where(fixed_diag, 0.0, grad)
+    return (tuple(cache), grad, cost, fixed_diag,
+            tuple(diag_blocks[g.name] for g in problem.groups))
+
+
+def _solve_matfree_pcg(problem: Problem, cache, grad, fixed_diag,
+                       diag_blocks, damping, lm, max_iter, tol):
+    """Matrix-free block-Jacobi PCG: H·v streams over the cached factor
+    Jacobians (gather → J v → Λ → Jᵀ → scatter-add), the preconditioner is
+    batched [N, t, t] SPD inverses of the damped diagonal blocks. Never
+    materializes H (the TPU-native form of sparse.rs:115's
+    BlockSparseHessian::pcg)."""
+    offsets, total = problem.layout()
+    dtype = grad.dtype
+
+    # damped diagonal: diag += λ·max(|diag|, 1) (sparse.rs:34-42)
+    damp_parts = []
+    pre_inv = []
+    for g, db in zip(problem.groups, diag_blocks):
+        d = jnp.diagonal(db, axis1=-2, axis2=-1)  # [N, t]
+        lam = (damping * jnp.maximum(jnp.abs(d), 1.0)) if lm \
+            else jnp.zeros_like(d)
+        damp_parts.append(lam.reshape(-1))
+        dbd = db + jax.vmap(jnp.diag)(lam)
+        pre_inv.append(jnp.linalg.inv(dbd))
+    damp_vec = jnp.concatenate(damp_parts)
+    # fixed rows act as the identity
+    damp_vec = jnp.where(fixed_diag, 1.0, damp_vec)
+
+    def precond(r):
+        outs = []
+        for g, inv in zip(problem.groups, pre_inv):
+            off = offsets[g.name]
+            rg = r[off:off + g.num * g.tdim].reshape(g.num, g.tdim)
+            outs.append(
+                jnp.einsum("nij,nj->ni", inv, rg).reshape(-1))
+        return jnp.concatenate(outs)
+
+    def hvp(v):
+        out = damp_vec * v
+        for block, (jacs, w) in zip(problem.factors, cache):
+            jv = None
+            for k, gname in enumerate(block.groups):
+                t = jacs[k].shape[-1]
+                cols = (offsets[gname] + block.indices[:, k] * t)[:, None] \
+                    + jnp.arange(t)[None, :]
+                vg = v[cols]  # [F, t]
+                term = jnp.einsum("frt,ft->fr", jacs[k], vg)
+                jv = term if jv is None else jv + term
+            lam_jv = (jv if block.information is None else
+                      jnp.einsum("fij,fj->fi", block.information, jv))
+            for k, gname in enumerate(block.groups):
+                t = jacs[k].shape[-1]
+                rows = (offsets[gname] + block.indices[:, k] * t)[:, None] \
+                    + jnp.arange(t)[None, :]
+                out = out.at[rows].add(
+                    w[:, None] * jnp.einsum("fri,fr->fi", jacs[k], lam_jv))
+        return out
+
+    b = -grad
+
+    def body(carry):
+        x, r, z, p, k, rz = carry
+        hp = hvp(p)
+        alpha = rz / jnp.clip(p @ hp, 1e-300, None)
+        x = x + alpha * p
+        r = r - alpha * hp
+        z = precond(r)
+        rz_new = r @ z
+        beta = rz_new / jnp.clip(rz, 1e-300, None)
+        p = z + beta * p
+        return x, r, z, p, k + 1, rz_new
+
+    def cond(carry):
+        _, r, _, _, k, _ = carry
+        return (jnp.linalg.norm(r) > tol) & (k < max_iter)
+
+    x0 = jnp.zeros((total,), dtype)
+    z0 = precond(b)
+    x, r, _, _, iters, _ = jax.lax.while_loop(
+        cond, body, (x0, b, z0, z0, 0, b @ z0))
+    return x, iters
+
+
 def _solve_dense(h, grad, damping, lm):
     hd = _add_damping(h, damping) if lm else h
     return jnp.linalg.solve(hd, -grad), 1
@@ -303,12 +438,26 @@ def solve(problem: Problem, config: SolverConfig = SolverConfig()):
         retained_dim = total - elim.num * elim.tdim
         elim_meta = (elim.num, elim.tdim)
 
-    @jax.jit
-    def linearize(vals):
-        return _linearize_dense(problem, vals, dtype)
+    matfree = config.linear_solver == "matfree_pcg"
 
     @jax.jit
-    def lin_solve(h, grad, damping):
+    def linearize(vals):
+        if matfree:
+            cache, grad, cost, fixed, diag = _linearize_matfree(
+                problem, vals, dtype)
+            return (cache, fixed, diag), grad
+        h, grad, _, _ = _linearize_dense(problem, vals, dtype)
+        return h, grad
+
+    @jax.jit
+    def lin_solve(lin_state, grad, damping):
+        if matfree:
+            cache, fixed, diag = lin_state
+            return _solve_matfree_pcg(
+                problem, cache, grad, fixed, diag, damping, lm,
+                config.pcg_max_iterations, config.pcg_tolerance,
+            )
+        h = lin_state
         if config.linear_solver == "dense":
             return _solve_dense(h, grad, damping, lm)
         if config.linear_solver == "pcg":
@@ -337,11 +486,11 @@ def solve(problem: Problem, config: SolverConfig = SolverConfig()):
     it = 0
 
     for it in range(config.max_iterations):
-        h, grad, _, _ = linearize(values)
+        lin_state, grad = linearize(values)
         if float(jnp.max(jnp.abs(grad))) <= config.gradient_tolerance:
             termination = "gradient_converged"
             break
-        delta, lin_iters = lin_solve(h, grad, damping)
+        delta, lin_iters = lin_solve(lin_state, grad, damping)
         total_linear += int(lin_iters)
         if not bool(jnp.all(jnp.isfinite(delta))):
             raise FloatingPointError("non-finite increment")

@@ -91,3 +91,22 @@ def test_se3_pose_graph_recovers_truth():
     t_truth = se3_exp(truth_t)
     err = se3_log(se3_inverse(t_truth) @ t_solved)
     assert float(jnp.max(jnp.abs(err))) < 1e-6
+
+
+def test_pose_graph_matfree_pcg_matches_dense():
+    """matfree_pcg (streamed Jᵀ(ΛJv) + block-Jacobi, no materialized H)
+    reaches the same solution as the dense solver on the reference's
+    benchmark chain — the path that scales to the 10k-pose table
+    (README.md:728-730)."""
+    truth, initial, ef, et, meas, info = synthesize_chain(200)
+    dense, _ = optimize_pose_graph_2d(initial, ef, et, meas, info,
+                                      max_iterations=25, tolerance=1e-8,
+                                      linear_solver="dense")
+    mf, summ = optimize_pose_graph_2d(initial, ef, et, meas, info,
+                                      max_iterations=25, tolerance=1e-8,
+                                      linear_solver="matfree_pcg",
+                                      pcg_max_iterations=3000,
+                                      pcg_tolerance=1e-8)
+    np.testing.assert_allclose(np.asarray(mf), np.asarray(dense), atol=1e-5)
+    assert rmse(np.asarray(mf), truth) < 5e-3
+    assert summ.linear_iterations > 0
