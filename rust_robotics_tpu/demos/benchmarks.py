@@ -250,6 +250,59 @@ def bench_mission_recovery():
     return header, rows
 
 
+def bench_slam_node():
+    from rust_robotics_tpu.slam.slam_node import REASONS, run_slam_node_loop
+
+    out = run_slam_node_loop(steps=30)
+    d = out["diagnostics"]
+    accepted = int(np.sum(np.asarray(d.reason_xy) == 0))
+    header = ["final_pose_error", "final_odom_error", "accepted_scans",
+              "mean_alpha_xy", "submap_points"]
+    rows = [[float(d.pose_error[-1]), float(d.odom_error[-1]), accepted,
+             float(np.mean(np.asarray(d.alpha_xy))),
+             int(d.submap_points[-1])]]
+    return header, rows
+
+
+def bench_arm_rrt_star():
+    from rust_robotics_tpu.control.arm import rrt_star_arm_plan
+
+    lengths = jnp.ones(7) * 0.5
+    centers = jnp.array([[1.2, 0.6, 0.3], [0.8, -0.8, 0.5]])
+    radii = jnp.array([0.25, 0.25])
+    out = rrt_star_arm_plan(
+        jax.random.PRNGKey(0), jnp.zeros(7), jnp.full(7, 0.6), lengths,
+        centers, radii, max_nodes=192, step_size=0.5, rewire_radius=1.2,
+        edge_checks=6, path_len=32)
+    header = ["found", "cost", "waypoints"]
+    rows = [[bool(out["found"]), float(out["cost"]),
+             int(out["mask"].sum())]]
+    return header, rows
+
+
+def bench_sampling_quality():
+    from rust_robotics_tpu.experiments.point_cloud_sampling import (
+        CloudCase, run_point_cloud_sampling_quality)
+
+    problems = {
+        "point_cloud_sampling": [
+            CloudCase("plane_baseline", (24,), base_point_count=96)],
+        "occlusion_corruption": [
+            CloudCase("ring_sector", (24,), kind="ring", base_point_count=96,
+                      corruption="sector_drop", sector_start=0.4,
+                      sector_end=1.8, drop_probability=0.9)],
+    }
+    reports = run_point_cloud_sampling_quality(
+        0, problems=problems, scenarios_per_bucket=4, max_iter=256)
+    header = ["variant", "agreement_vs_reference", "coverage_ratio",
+              "winner_case0"]
+    rows = [[name, rep["agreement_vs_reference"],
+             rep["average_coverage_ratio"],
+             rep["observations"][0].winner()]
+            for name, rep in sorted(reports.items())]
+    return header, rows
+
+
 PINNED = {
     "ekf-localization-benchmark": bench_ekf_localization,
     "pose-graph-benchmark": bench_pose_graph,
@@ -264,6 +317,9 @@ PINNED = {
     "coverage-benchmark": bench_coverage,
     "stl-cbs-benchmark": bench_stl_cbs,
     "mission-recovery-benchmark": bench_mission_recovery,
+    "slam-node-benchmark": bench_slam_node,
+    "arm-rrt-star-benchmark": bench_arm_rrt_star,
+    "sampling-quality-benchmark": bench_sampling_quality,
 }
 
 
