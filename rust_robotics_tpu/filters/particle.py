@@ -253,3 +253,29 @@ def mcl_step(belief, active_mask, control, observed_ranges, landmarks, dt, key,
     wts = wts / jnp.sum(wts, axis=-1, keepdims=True)
     new_belief = ParticleBelief(states, wts.astype(belief.weights.dtype))
     return new_belief, new_mask, pf_estimate(new_belief), n_active
+
+
+def resample_if_needed_pallas(belief, key, threshold_frac=0.5):
+    """resample_if_needed on the fused Pallas kernel
+    (ops/resample_pallas.py): normalization, N_eff, the stratified
+    inverse-CDF search, and the particle gather run in one VMEM-resident
+    kernel (MXU prefix sum + one-hot gather matmul). Semantics match
+    `resample_if_needed(..., method=systematic_resample)` up to an
+    off-by-one index at CDF boundaries (~5e-5 of draws at P=1024, a
+    statistically equivalent stratified draw).
+
+    belief.states must be [B, P, n] (one leading batch dim)."""
+    from rust_robotics_tpu.ops.resample_pallas import (
+        systematic_resample_gather)
+
+    b, p, n = belief.states.shape
+    u = jax.random.uniform(key, (b,), belief.weights.dtype)
+    states_dp = jnp.swapaxes(belief.states, -1, -2)  # [B, n, P]
+    new_dp, _, neff = systematic_resample_gather(
+        belief.weights, u, states_dp)
+    need = neff < threshold_frac * p
+    states = jnp.where(need[:, None, None],
+                       jnp.swapaxes(new_dp, -1, -2), belief.states)
+    uniform = jnp.full_like(belief.weights, 1.0 / p)
+    weights = jnp.where(need[:, None], uniform, belief.weights)
+    return ParticleBelief(states, weights)

@@ -77,13 +77,17 @@ def _resample_kernel(w_ref, u_ref, states_ref, out_states_ref, idx_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def systematic_resample_gather(weights, u, states, interpret=False):
+def systematic_resample_gather(weights, u, states, interpret=None):
     """Fused systematic resampling for B independent particle filters.
 
     weights [B, P] (unnormalized), u [B] single stratified uniforms in
     [0, 1), states [B, D, P]. Returns (new_states [B, D, P],
-    parent_idx [B, P] int32, neff [B]).
+    parent_idx [B, P] int32, neff [B]). `interpret=None` auto-selects
+    interpreter mode on CPU backends (tests) and compiled mode on TPU.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
     b, p = weights.shape
     d = states.shape[1]
     kernel = functools.partial(_resample_kernel, p=p)

@@ -77,3 +77,27 @@ def test_uniform_weights_identity_permutation():
     np.testing.assert_array_equal(np.sort(np.asarray(idx[0])),
                                   np.arange(p))
     np.testing.assert_allclose(float(neff[0]), p, rtol=1e-5)
+
+
+def test_resample_if_needed_pallas_matches_reference_path():
+    from rust_robotics_tpu.filters.particle import (
+        ParticleBelief, resample_if_needed, resample_if_needed_pallas)
+
+    b, p, n = 2, 128, 4
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    states = jax.random.normal(k1, (b, p, n), jnp.float32)
+    w = jax.random.uniform(k2, (b, p), jnp.float32) ** 4 + 1e-7
+    w = w / w.sum(-1, keepdims=True)
+    belief = ParticleBelief(states, w)
+    # degenerate weights force resampling in both paths
+    out = jax.jit(
+        lambda bl, k: resample_if_needed_pallas(bl, k)
+    )(belief, jax.random.PRNGKey(9))
+    assert out.states.shape == (b, p, n)
+    np.testing.assert_allclose(np.asarray(out.weights),
+                               np.full((b, p), 1.0 / p), atol=1e-7)
+    # every resampled particle is one of the originals
+    for bi in range(b):
+        src = {tuple(np.round(row, 5)) for row in np.asarray(states[bi])}
+        for row in np.asarray(out.states[bi]):
+            assert tuple(np.round(row, 5)) in src
