@@ -79,6 +79,15 @@ def main():
 
     updates_per_s = b * t / per_call
     baseline = 1000 / 0.19e-3  # reference: 1000 EKF steps / 0.19 ms
+
+    extras = {}
+    try:
+        extras["grid_cells_relaxed_per_s"] = _bench_grid_cells(jax, jnp)
+        extras["resampled_particles_per_s"] = _bench_resample(jax, jnp,
+                                                              on_tpu)
+    except Exception as e:  # noqa: BLE001 — extras must never kill the line
+        extras["error"] = str(e)
+
     print(
         json.dumps(
             {
@@ -86,9 +95,70 @@ def main():
                 "value": updates_per_s,
                 "unit": "updates/s",
                 "vs_baseline": updates_per_s / baseline,
+                "extras": extras,
             }
         )
     )
+
+
+def _bench_grid_cells(jax, jnp):
+    """Secondary metric (BASELINE.json): grid cells relaxed/s — one
+    wavefront sweep relaxes W·H cells; a batch of B maps sweeps in
+    parallel. Counts cells × sweeps executed by the while_loop."""
+    import numpy as np
+
+    from rust_robotics_tpu.planning.wavefront import (
+        goal_raster, wavefront_costs)
+
+    b, w, h = 64, 128, 128
+    key = jax.random.PRNGKey(1)
+    free = jax.random.uniform(key, (b, w, h)) > 0.2
+    free = free.at[:, 0, 0].set(True).at[:, -1, -1].set(True)
+    goals = jnp.broadcast_to(
+        goal_raster((w, h), jnp.array([w - 1, h - 1])), (b, w, h))
+
+    run = jax.jit(lambda f: wavefront_costs(f, goals))
+    costs = run(free)
+    np.asarray(costs)
+    # sweeps until fixpoint ≈ longest shortest-path length; bound by the
+    # observed max finite distance in moves (diag steps ≈ dist/1)
+    finite = np.asarray(costs)[np.isfinite(np.asarray(costs))]
+    sweeps = max(int(finite.max() / 1.0), 1) if finite.size else w + h
+    import time as _time
+
+    t0 = _time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        costs = run(free)
+    np.asarray(costs)
+    per = (_time.perf_counter() - t0) / reps
+    return b * w * h * sweeps / per
+
+
+def _bench_resample(jax, jnp, on_tpu):
+    """Secondary metric: fused Pallas systematic resampling throughput."""
+    import numpy as np
+    import time as _time
+
+    from rust_robotics_tpu.ops.resample_pallas import (
+        systematic_resample_gather)
+
+    b, p, d = (256, 1024, 4) if on_tpu else (16, 256, 4)
+    k = jax.random.PRNGKey(2)
+    wgt = jax.random.uniform(jax.random.fold_in(k, 1), (b, p),
+                             jnp.float32) + 1e-6
+    u = jax.random.uniform(jax.random.fold_in(k, 2), (b,), jnp.float32)
+    s = jax.random.normal(jax.random.fold_in(k, 3), (b, d, p), jnp.float32)
+    run = jax.jit(lambda w_, u_, s_: systematic_resample_gather(w_, u_, s_))
+    out = run(wgt, u, s)
+    np.asarray(out[1])
+    t0 = _time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        out = run(wgt, u, s)
+    np.asarray(out[1])
+    per = (_time.perf_counter() - t0) / reps
+    return b * p / per
 
 
 if __name__ == "__main__":

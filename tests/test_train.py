@@ -1,6 +1,7 @@
 """Flagship sharded training step tests (virtual 8-device CPU mesh)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -74,3 +75,20 @@ def test_dryrun_multichip_entry():
     out = jax.jit(fn)(*args)
     assert out[0].shape == (1024, 4)
     mod.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_scaling_report_harness():
+    """M6 harness (SURVEY §7.2): weak-scaling sweep compiles + runs on the
+    virtual mesh; per-device workload constant; efficiency computed vs the
+    smallest mesh. (Virtual CPU devices share cores — the number validates
+    the harness, not hardware.)"""
+    from rust_robotics_tpu.demos.scaling_report import run_scaling_report
+
+    rows = run_scaling_report((1, 2), per_device_batch=4, steps=8, reps=2)
+    assert [r["devices"] for r in rows] == [1, 2]
+    assert rows[0]["efficiency"] == 1.0
+    for r in rows:
+        assert r["global_batch"] == 4 * r["devices"] or r["mesh"].endswith(
+            "x2")
+        assert np.isfinite(r["loss"]) and r["items_per_s"] > 0
