@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from rust_robotics_tpu.nlls.problem import FactorBlock, Problem
+from rust_robotics_tpu.ops.smallmat import inv_spd_small
 
 
 @dataclasses.dataclass(frozen=True)
@@ -273,7 +274,7 @@ def _solve_matfree_pcg(problem: Problem, cache, grad, fixed_diag,
             else jnp.zeros_like(d)
         damp_parts.append(lam.reshape(-1))
         dbd = db + jax.vmap(jnp.diag)(lam)
-        pre_inv.append(jnp.linalg.inv(dbd))
+        pre_inv.append(inv_spd_small(dbd))
     damp_vec = jnp.concatenate(damp_parts)
     # fixed rows act as the identity
     damp_vec = jnp.where(fixed_diag, 1.0, damp_vec)
@@ -351,7 +352,7 @@ def _solve_pcg(h, grad, damping, lm, groups_meta, max_iter, tol):
     for off, num, tdim in groups_meta:
         idx = off + jnp.arange(num)[:, None] * tdim + jnp.arange(tdim)[None, :]
         blocks = hd[idx[:, :, None], idx[:, None, :]]  # [N, t, t]
-        inv = jnp.linalg.inv(blocks)
+        inv = inv_spd_small(blocks)
         pre = pre.at[idx[:, :, None], idx[:, None, :]].set(inv)
 
     b = -grad
@@ -393,7 +394,7 @@ def _solve_schur(h, grad, damping, lm, retained_dim, elim_meta):
     g_l = grad[dr:]
     blocks = h_ll.reshape(num, tdim, num, tdim)
     diag_blocks = blocks[jnp.arange(num), :, jnp.arange(num), :]  # [N, t, t]
-    inv = jnp.linalg.inv(diag_blocks)
+    inv = inv_spd_small(diag_blocks)
     # H_ll^{-1} acting as block-diag
     def ll_inv_mul(v):
         return (inv @ v.reshape(num, tdim, -1)).reshape(num * tdim, -1)
