@@ -65,6 +65,18 @@ class MovingAiScenario:
 
 
 def parse_map(text: str) -> MovingAiMap:
+    """Parse a `.map`. Uses the native C++ runtime when available (the
+    reference's loader is native too, moving_ai.rs); identical output is
+    pinned by tests/test_native_runtime.py."""
+    from rust_robotics_tpu import native
+
+    if native.available():
+        width, height, _passable, tiles = native.parse_map_native(text)
+        return MovingAiMap(width=width, height=height, tiles=tiles)
+    return _parse_map_py(text)
+
+
+def _parse_map_py(text: str) -> MovingAiMap:
     lines = [ln.rstrip() for ln in text.splitlines() if ln.strip()]
     if lines[0].strip() != "type octile":
         raise ValueError(f"unsupported MovingAI map type {lines[0]!r}")
@@ -90,6 +102,24 @@ def load_map(path) -> MovingAiMap:
 
 
 def parse_scenarios(text: str) -> list[MovingAiScenario]:
+    """Parse a `.scen`. Native C++ fast path with pure-Python fallback."""
+    from rust_robotics_tpu import native
+
+    if native.available():
+        ints, opt, names = native.parse_scenarios_native(text)
+        return [
+            MovingAiScenario(
+                bucket=int(r[0]), map_name=names[i], width=int(r[1]),
+                height=int(r[2]), start_x=int(r[3]), start_y=int(r[4]),
+                goal_x=int(r[5]), goal_y=int(r[6]),
+                optimal_length=float(opt[i]),
+            )
+            for i, r in enumerate(ints)
+        ]
+    return _parse_scenarios_py(text)
+
+
+def _parse_scenarios_py(text: str) -> list[MovingAiScenario]:
     out = []
     for ln in text.splitlines():
         ln = ln.strip()

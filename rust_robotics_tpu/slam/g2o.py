@@ -37,6 +37,32 @@ def _upper_values(m):
 
 
 def parse_g2o(text: str) -> G2oGraph:
+    """Parse g2o text. Native C++ fast path (the reference's parser is
+    native too, g2o.rs:48) with pure-Python fallback; output equality is
+    pinned by tests/test_native_runtime.py."""
+    from rust_robotics_tpu import native
+
+    if native.available():
+        r = native.parse_g2o_native(text)
+        return G2oGraph(
+            vertices_se2={int(i): p for i, p in zip(r["v2_ids"], r["v2_pose"])},
+            edges_se2=[
+                (int(ij[0]), int(ij[1]), m, info)
+                for ij, m, info in zip(r["e2_idx"], r["e2_meas"], r["e2_info"])
+            ],
+            vertices_se3={
+                int(i): (p[:3].copy(), p[3:].copy())
+                for i, p in zip(r["v3_ids"], r["v3_pose"])
+            },
+            edges_se3=[
+                (int(ij[0]), int(ij[1]), m[:3].copy(), m[3:].copy(), info)
+                for ij, m, info in zip(r["e3_idx"], r["e3_meas"], r["e3_info"])
+            ],
+        )
+    return _parse_g2o_py(text)
+
+
+def _parse_g2o_py(text: str) -> G2oGraph:
     g = G2oGraph({}, [], {}, [])
     for ln_no, ln in enumerate(text.splitlines(), 1):
         parts = ln.split()

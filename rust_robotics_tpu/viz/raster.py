@@ -124,24 +124,44 @@ class Frame:
 
 
 class GifRecorder:
-    """Streaming animated-GIF writer (gif_recorder.rs GifRecorder)."""
+    """Streaming animated-GIF writer (gif_recorder.rs GifRecorder).
+
+    Uses the native C++ encoder (rust_robotics_tpu/native) when available —
+    true streaming, frames hit the file as they arrive, exactly like the
+    reference's dependency-free recorder — and falls back to a buffered PIL
+    path otherwise."""
 
     def __init__(self, path, cfg: CanvasConfig):
+        from rust_robotics_tpu import native
+
         self.path = str(path)
         self.cfg = cfg
         self._frames = []
         self._durations = []
+        self._native = None
+        if native.available():
+            self._native = native.NativeGifWriter(
+                self.path, cfg.width, cfg.height
+            )
 
     def add_frame(self, frame: Frame):
         self.add_frame_with_delay(frame, self.cfg.delay_cs)
 
     def add_frame_with_delay(self, frame: Frame, delay_cs: int):
+        if self._native is not None:
+            self._count = self._native.add_frame(frame.rgb, delay_cs)
+            return
         from PIL import Image
 
         self._frames.append(Image.fromarray(frame.rgb).quantize(colors=64))
         self._durations.append(delay_cs * 10)  # cs -> ms
 
     def finish(self):
+        if self._native is not None:
+            if self._native.close() == 0:
+                raise ValueError("no frames recorded")
+            self._native = None
+            return self.path
         if not self._frames:
             raise ValueError("no frames recorded")
         self._frames[0].save(
