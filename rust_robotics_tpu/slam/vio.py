@@ -189,7 +189,17 @@ def run_vio_pipeline(dataset, tracks, accel_sigma=0.02, gyro_sigma=0.002,
 
 
 def pose_error(poses, gt_positions):
-    """Translation RMSE of [K, 4, 4] poses vs ground-truth positions
-    (vio_pipeline.rs:450)."""
+    """Translation RMSE of [K, 4, 4] poses vs ground-truth positions."""
     d = np.asarray(poses[:, :3, 3]) - np.asarray(gt_positions)
     return float(np.sqrt(np.mean(np.sum(d**2, axis=-1))))
+
+
+def pose_error_se3(actual, expected):
+    """SE(3) tangent-norm pose error ‖log(expected⁻¹·actual)‖ — the exact
+    metric of the reference's `pose_error` (vio_pipeline.rs:450-452) used
+    by the headless EuRoC acceptance gate (headless_euroc_vio.rs:43-47).
+    Accepts single [4,4] poses or batched [..., 4, 4]."""
+    actual = jnp.asarray(actual)
+    expected = jnp.asarray(expected)
+    tau = se3_log(se3_inverse(expected) @ actual)
+    return np.asarray(jnp.linalg.norm(tau, axis=-1))
