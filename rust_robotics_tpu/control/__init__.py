@@ -65,3 +65,18 @@ from rust_robotics_tpu.control.trajopt import (  # noqa: F401
     ilqr_solve,
     lqr_regulator,
 )
+from rust_robotics_tpu.control.mppi_value import (  # noqa: F401
+    ReplayBuffer,
+    TerminalValueGrid,
+    ValueUpdateConfig,
+    WaypointTrack,
+    discounted_cost_to_go,
+    grid_from_goal_distance,
+    grid_value_at,
+    make_track,
+    make_value_terminal_cost,
+    replay_push,
+    replay_update_grid,
+    track_terminal_value_grid,
+    update_grid_from_rollout,
+)

@@ -155,6 +155,69 @@ def bench_mppi():
     return header, rows
 
 
+def bench_mppi_value():
+    """Value-guided vs vanilla MPPI behind a wall (mppi.rs:362 terminal
+    value grids + :1114 terminal_value_cost): the wavefront-derived value
+    grid steers around the obstacle, the quadratic terminal does not."""
+    import numpy as np
+
+    from rust_robotics_tpu.control.mppi import (
+        MPPIConfig,
+        double_integrator_dynamics,
+        make_goal_costs,
+        mppi_plan,
+        shift_nominal,
+    )
+    from rust_robotics_tpu.control.mppi_value import (
+        TerminalValueGrid,
+        make_value_terminal_cost,
+    )
+    from rust_robotics_tpu.planning.wavefront import (
+        goal_raster,
+        wavefront_costs,
+    )
+
+    res = 0.25
+    origin = (-2.0, -4.0)
+    w, h = 48, 48
+    goal = jnp.array([6.0, 0.0])
+    free = np.ones((w, h), bool)
+    wall_x = int((2.5 - origin[0]) / res)
+    wall_top = int((2.0 - origin[1]) / res)
+    free[wall_x:wall_x + 2, :wall_top] = False
+    free = jnp.asarray(free)
+    goal_idx = jnp.asarray([int((goal[0] - origin[0]) / res),
+                            int((goal[1] - origin[1]) / res)])
+    vgrid = TerminalValueGrid(
+        jnp.asarray(origin), jnp.asarray(res),
+        wavefront_costs(free, goal_raster((w, h), goal_idx)) * res)
+    obstacle_pts = (np.argwhere(~np.asarray(free)) * res
+                    + np.asarray(origin) + res / 2)
+    stage, quad_terminal = make_goal_costs(
+        goal, obstacles=jnp.asarray(obstacle_pts), obstacle_radius=0.4,
+        obstacle_weight=500.0)
+    cfg = MPPIConfig(horizon=25, num_samples=512, noise_sigma=(0.8, 0.8))
+
+    def run(terminal, steps=70):
+        state = jnp.array([0.0, 0.0, 0.0, 0.0])
+        u = jnp.zeros((cfg.horizon, 2))
+        key = jax.random.PRNGKey(7)
+        for _ in range(steps):
+            key, sk = jax.random.split(key)
+            u, first, _ = mppi_plan(sk, double_integrator_dynamics, stage,
+                                    terminal, state, u, cfg)
+            state = double_integrator_dynamics(state, first, cfg.dt)
+            u = shift_nominal(u)
+        return float(jnp.linalg.norm(state[:2] - goal))
+
+    d_value = run(make_value_terminal_cost(vgrid, weight=30.0))
+    d_vanilla = run(quad_terminal)
+    header = ["variant", "final_distance", "beats_vanilla"]
+    rows = [["value_guided", d_value, int(d_value < d_vanilla)],
+            ["vanilla_quadratic", d_vanilla, 0]]
+    return header, rows
+
+
 def bench_controller_arena():
     from rust_robotics_tpu.control.arena import run_controller_arena
 
@@ -311,6 +374,7 @@ PINNED = {
     "rrt-star-benchmark": bench_rrt_star,
     "frenet-benchmark": bench_frenet,
     "mppi-benchmark": bench_mppi,
+    "mppi-value-benchmark": bench_mppi_value,
     "controller-arena-benchmark": bench_controller_arena,
     "icp-benchmark": bench_icp,
     "particle-filter-benchmark": bench_particle_filter,

@@ -64,3 +64,35 @@ def rmse(poses, truth):
     squared (x, y, yaw) errors)."""
     d = np.asarray(poses) - truth
     return float(np.sqrt(np.mean(np.sum(d**2, axis=-1))))
+
+
+def run_large_benchmark(size=10000, max_iterations=4, tolerance=1e-8,
+                        pcg_tolerance=1e-5, pcg_max_iterations=3000):
+    """The reference's large pose-graph benchmark on the matfree-PCG path.
+
+    Reference wall-clock (README.md:728-730, single core, --release):
+    1k 0.64 s · 5k 4.54 s · 10k 8.62 s at RMSE ≤ 2.2e-3. The matfree
+    Gauss-Newton matvec converges geometrically per LM iteration; 4 LM
+    iterations land ~7e-4 RMSE on the 10k chain (gate is < 5e-3,
+    benchmark_large_pose_graph.rs:97) in ~3.4 s CPU f64 — 2.5× the
+    reference — so the default stops there rather than polishing to 3.5e-4
+    over 9 iterations. Returns (seconds, rmse, lm_iterations).
+    """
+    import time
+
+    import jax.numpy as jnp
+
+    from rust_robotics_tpu.slam.pose_graph import optimize_pose_graph_2d
+
+    truth, initial, ef, et, meas, info = synthesize_chain(size)
+    f = jnp.result_type(float)
+    args = (jnp.asarray(initial, f), jnp.asarray(ef), jnp.asarray(et),
+            jnp.asarray(meas, f), jnp.asarray(info, f))
+    t0 = time.perf_counter()
+    poses, summary = optimize_pose_graph_2d(
+        *args, max_iterations=max_iterations, tolerance=tolerance,
+        linear_solver="matfree_pcg", pcg_max_iterations=pcg_max_iterations,
+        pcg_tolerance=pcg_tolerance)
+    poses_np = np.asarray(poses)
+    seconds = time.perf_counter() - t0
+    return seconds, rmse(poses_np, truth), int(summary.iterations)

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import zlib
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -326,9 +327,11 @@ def slot_scores_for_cell(key, case: CloudCase, bucket: int, n_slots: int,
     """[n_slots, 3] (voxel, fps, poisson) score tensor for one
     (case, bucket) cell — computed once, shared by every variant."""
     target = int(np.clip(bucket, 8, case.base_point_count))
+    # stable per-family fold: Python's str hash is randomized per process
+    # (PYTHONHASHSEED), which would make the benchmark CSV nondeterministic
+    name_tag = zlib.crc32(case.family_name.encode()) % (2**31)
     kgen, kscore = jax.random.split(
-        jax.random.fold_in(jax.random.fold_in(key, hash(case.family_name)
-                                              % (2**31)), bucket))
+        jax.random.fold_in(jax.random.fold_in(key, name_tag), bucket))
     pts, valid = _generate_cell_clouds(kgen, case, bucket, n_slots)
     mi = max_iter if max_iter is not None else 8 * pts.shape[1]
     keys = jax.random.split(kscore, n_slots)

@@ -215,6 +215,9 @@ def kld_required_particles(states, active_mask, grid_res, kld_epsilon=0.05,
     term = 1.0 - 2.0 / (9.0 * km1) + jnp.sqrt(2.0 / (9.0 * km1)) * kld_z
     n = km1 / (2.0 * kld_epsilon) * term**3
     n = jnp.ceil(n).astype(jnp.int32)
+    # k ≤ 1 occupied bin → the caller's min_particles floor applies
+    # (monte_carlo_localization.rs:368-370 returns min_particles there)
+    n = jnp.where(distinct <= 1, 1, n)
     if max_particles is not None:
         n = jnp.clip(n, 1, max_particles)
     return n

@@ -51,6 +51,10 @@ class SolverConfig:
     linear_solver: str = "dense"  # "dense" | "pcg" | "schur"
     pcg_max_iterations: int = 200
     pcg_tolerance: float = 1e-10
+    # reduced (retained) system factorization for the Schur path:
+    # "auto" = Pallas blocked Cholesky on TPU for n ≥ 256 (VMEM-resident,
+    # MXU trailing updates — ops/cholesky_pallas.py), XLA dense otherwise
+    reduced_solver: str = "auto"  # "auto" | "pallas_chol" | "dense"
 
 
 @dataclasses.dataclass
@@ -381,7 +385,25 @@ def _solve_pcg(h, grad, damping, lm, groups_meta, max_iter, tol):
     return x, iters
 
 
-def _solve_schur(h, grad, damping, lm, retained_dim, elim_meta):
+def _reduced_solve(s, rhs, reduced_solver):
+    """Retained-system solve for the Schur path."""
+    use_pallas = reduced_solver == "pallas_chol" or (
+        reduced_solver == "auto"
+        and s.shape[0] >= 256
+        and s.dtype == jnp.float32
+        and jax.devices()[0].platform not in ("cpu",)
+    )
+    if use_pallas:
+        from rust_robotics_tpu.ops.cholesky_pallas import (
+            cholesky_solve_pallas,
+        )
+
+        return cholesky_solve_pallas(s, rhs)
+    return jnp.linalg.solve(s, rhs)
+
+
+def _solve_schur(h, grad, damping, lm, retained_dim, elim_meta,
+                 reduced_solver="auto"):
     """Eliminate the trailing group (block-diagonal [N, t, t] inverses), then
     dense-solve the retained system (sparse.rs:160 semantics)."""
     hd = _add_damping(h, damping) if lm else h
@@ -401,7 +423,7 @@ def _solve_schur(h, grad, damping, lm, retained_dim, elim_meta):
 
     s = h_rr - h_rl @ ll_inv_mul(h_rl.T)
     rhs = -g_r + (h_rl @ ll_inv_mul(g_l[:, None]))[:, 0]
-    dx_r = jnp.linalg.solve(s, rhs)
+    dx_r = _reduced_solve(s, rhs, reduced_solver)
     dx_l = ll_inv_mul((-g_l - h_rl.T @ dx_r)[:, None])[:, 0]
     return jnp.concatenate([dx_r, dx_l]), 1
 
@@ -467,7 +489,8 @@ def solve(problem: Problem, config: SolverConfig = SolverConfig()):
                 config.pcg_max_iterations, config.pcg_tolerance,
             )
         if config.linear_solver == "schur":
-            return _solve_schur(h, grad, damping, lm, retained_dim, elim_meta)
+            return _solve_schur(h, grad, damping, lm, retained_dim, elim_meta,
+                                config.reduced_solver)
         raise ValueError(config.linear_solver)
 
     @jax.jit

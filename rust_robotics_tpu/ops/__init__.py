@@ -8,3 +8,7 @@ from rust_robotics_tpu.ops.resample_pallas import (  # noqa: F401
     resample_reference,
     systematic_resample_gather,
 )
+from rust_robotics_tpu.ops.cholesky_pallas import (  # noqa: F401
+    cholesky_pallas,
+    cholesky_solve_pallas,
+)

@@ -63,5 +63,45 @@ def run_worker(coordinator: str, num_processes: int, process_id: int,
     jax.distributed.shutdown()
 
 
+def run_pipeline_worker(coordinator: str, num_processes: int,
+                        process_id: int):
+    """Cross-process pipeline stage: each process hosts one stage of the
+    systolic `pipeline_shard_map`; microbatches hop the process boundary
+    via ppermute over gloo (SURVEY §2.12 PP row, multi-host form)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator, num_processes=num_processes,
+                               process_id=process_id)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from rust_robotics_tpu.parallel.pipeline import pipeline_shard_map
+
+    devices = np.asarray(jax.devices())
+    assert len(devices) == num_processes
+    mesh = Mesh(devices, ("pipe",))
+
+    xs = jnp.arange(10.0 * 3).reshape(10, 3) / 7.0
+
+    def stage_fn(stage, x):
+        return jnp.tanh(x * (stage + 1.5)) + stage
+
+    ys = pipeline_shard_map(stage_fn, xs, mesh)
+    want = xs
+    for s in range(num_processes):
+        want = jnp.tanh(want * (s + 1.5)) + s
+    err = float(jnp.max(jnp.abs(ys - want)))
+    print(f"FAKEPIPE proc={process_id} err={err:.3e} "
+          f"sum={float(jnp.sum(ys)):.10f}", flush=True)
+    jax.distributed.shutdown()
+
+
 if __name__ == "__main__":
-    run_worker(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]))
+    if len(sys.argv) > 4 and sys.argv[4] == "pipeline":
+        run_pipeline_worker(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        run_worker(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]))

@@ -91,3 +91,12 @@ from rust_robotics_tpu.planning.conformal import (  # noqa: F401
     conformal_sipp_plan,
     empirical_quantile,
 )
+from rust_robotics_tpu.planning.any_angle import (  # noqa: F401
+    VisibilityPlanner,
+    corner_vertices,
+    theta_wavefront_costs,
+)
+from rust_robotics_tpu.planning.a_star_variants import (  # noqa: F401
+    AStarVariantConfig,
+    AStarVariantPlanner,
+)

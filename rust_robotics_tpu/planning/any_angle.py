@@ -79,6 +79,41 @@ def corner_points(free):
     return xy
 
 
+def corner_vertices(free, eps: float = 1e-3):
+    """[C, 2] ε-offset lattice corner vertices of the blocked region.
+
+    Continuous-space shortest paths among the blocked cells (treated as
+    unit squares) turn exactly at convex corners of the blocked region —
+    lattice points where exactly ONE of the four surrounding cells is
+    blocked (anya.rs:208-216 documents the same geometry; its grid-LOS
+    variant falls back to all free cells instead). Each vertex is nudged
+    by ε diagonally away from its blocked cell so sampled-LOS segments
+    pass strictly outside the obstacle; path lengths are within O(ε) of
+    the true continuous optimum.
+    """
+    blocked = np.asarray(~jnp.asarray(free, bool))
+    w, h = blocked.shape
+    pad = np.pad(blocked, 1, constant_values=False)  # outside counts free
+    # cell (vx+sx, vy+sy) for sx,sy in {-1,0} surrounds lattice vertex (vx,vy)
+    cells = {
+        (sx, sy): pad[1 + sx: w + 2 + sx, 1 + sy: h + 2 + sy]
+        for sx in (-1, 0) for sy in (-1, 0)
+    }  # each [w+1, h+1] — blocked flag of the quadrant cell
+    count = sum(c.astype(np.int8) for c in cells.values())
+    out = []
+    for (sx, sy), c in cells.items():
+        sel = (count == 1) & c
+        vx, vy = np.nonzero(sel)
+        # offset away from the blocked cell: its center is at
+        # (vx + sx + .5, vy + sy + .5); away = -sign(center - vertex)
+        ox = -np.sign(sx + 0.5) * eps
+        oy = -np.sign(sy + 0.5) * eps
+        out.append(np.stack([vx + ox, vy + oy], -1))
+    if not out:
+        return np.zeros((0, 2))
+    return np.concatenate(out, 0)
+
+
 # --------------------------------------------------------------------------
 # batched LOS matrix
 # --------------------------------------------------------------------------
@@ -125,6 +160,12 @@ def _visibility_solve(corners, vis, blocked, starts, goals,
     f = jnp.result_type(float)
     corners = corners.astype(f)
     c = corners.shape[0]
+    if c == 0:  # obstacle-free map: only the direct segment exists
+        def direct_only(start, goal):
+            vis = line_of_sight_free(start, goal, blocked, 0.0, 0.0, 1.0,
+                                     samples)
+            return jnp.where(vis, jnp.linalg.norm(goal - start), jnp.inf)
+        return jax.vmap(direct_only)(starts.astype(f), goals.astype(f))
     d_cc = jnp.linalg.norm(corners[:, None] - corners[None, :], axis=-1)
     adj = jnp.where(vis, d_cc, BIG)
     adj = jnp.where(jnp.eye(c, dtype=bool), 0.0, adj)
@@ -151,8 +192,8 @@ def _visibility_solve(corners, vis, blocked, starts, goals,
             _, changed, hops = carry
             return changed & (hops < max_hops)
 
-        dist, _, _ = jax.lax.while_loop(
-            body=body, cond_fun=cond, init_val=(d_s, jnp.asarray(True), 0))
+        dist, _, _ = jax.lax.while_loop(cond, body,
+                                        (d_s, jnp.asarray(True), 0))
         best = jnp.min(dist + d_g)
         best = jnp.minimum(
             best, jnp.where(direct, jnp.linalg.norm(goal - start), BIG))
@@ -162,17 +203,23 @@ def _visibility_solve(corners, vis, blocked, starts, goals,
 
 
 class VisibilityPlanner:
-    """Exact any-angle planner over a free raster (anya.rs capability).
+    """Exact any-angle planner over a free raster (anya.rs capability,
+    continuous-LOS semantics).
 
-    Precomputes corners + the corner LOS matrix once per map; `lengths`
-    solves a batch of (start, goal) scenarios in one jitted call.
+    Precomputes the ε-offset corner vertices + their LOS matrix once per
+    map; `lengths` solves a batch of (start, goal) scenarios in one jitted
+    call. `samples` defaults to 2 probes per cell of the longest possible
+    segment so a 1-cell wall can never be jumped.
     """
 
-    def __init__(self, free, samples: int = 256, tile: int = 512):
+    def __init__(self, free, samples: int | None = None, tile: int = 128,
+                 eps: float = 1e-3):
         self.free = jnp.asarray(free, bool)
         self.blocked = ~self.free
+        if samples is None:
+            samples = 2 * max(self.free.shape) + 4
         self.samples = samples
-        self.corners = jnp.asarray(corner_points(self.free))
+        self.corners = jnp.asarray(corner_vertices(self.free, eps=eps))
         self.vis = visibility_matrix(
             self.corners, self.blocked, samples=samples, tile=tile)
 
@@ -319,7 +366,8 @@ def theta_wavefront_costs(free, goal_idx, iters: int = 512,
             seg = jnp.linalg.norm(p_xy - centers, axis=-1)
             los = line_of_sight_free(
                 p_xy, centers, blocked, 0.0, 0.0, 1.0, samples)
-            los = los & (seg <= samples - 2)  # sampled-LOS validity bound
+            # sampled-LOS validity: keep ≥2 probes per traversed cell
+            los = los & (seg <= (samples - 1) / 2)
             cand2 = jnp.where(m & los, gp + seg, BIG)
 
             take2 = cand2 <= cand1

@@ -44,3 +44,7 @@ from rust_robotics_tpu.slam.slam_node import (  # noqa: F401
     scan_to_points,
     subsample_stride,
 )
+from rust_robotics_tpu.slam.vio import pose_error_se3  # noqa: F401
+from rust_robotics_tpu.slam.vio_pp import (  # noqa: F401
+    run_vio_pipeline_windowed,
+)

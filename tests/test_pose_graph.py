@@ -110,3 +110,17 @@ def test_pose_graph_matfree_pcg_matches_dense():
     np.testing.assert_allclose(np.asarray(mf), np.asarray(dense), atol=1e-5)
     assert rmse(np.asarray(mf), truth) < 5e-3
     assert summ.linear_iterations > 0
+
+
+@pytest.mark.slow
+def test_large_pose_graph_10k_beats_reference_wall_clock():
+    """README.md:728-730: the reference solves the 10k-pose chain in
+    8.62 s single-core at RMSE ≤ 2.2e-3. The matfree-PCG path must land
+    under the RMSE gate in under that wall-clock on this host (typ. ~3.5 s
+    CPU f64 including trace+compile)."""
+    from rust_robotics_tpu.demos.pose_graph_bench import run_large_benchmark
+
+    seconds, err, iters = run_large_benchmark(10000)
+    assert err < 2.2e-3, err
+    assert iters >= 3
+    assert seconds < 8.62, (seconds, err)

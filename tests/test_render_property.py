@@ -10,27 +10,56 @@ import numpy as np
 import pytest
 
 from rust_robotics_tpu.demos.render import (
+    render_gif_dwa_navigation,
     render_gif_ekf_localization,
+    render_gif_particle_filter,
+    render_svg_any_angle,
+    render_svg_dubins,
     render_svg_path_planning,
+    render_svg_pose_graph,
     render_svg_rrt,
 )
 
 
-def test_render_gif_ekf(tmp_path):
-    p = render_gif_ekf_localization(tmp_path / "ekf.gif", steps=45)
-    assert os.path.getsize(p) > 500
+def _assert_gif(p, min_size=500):
+    assert os.path.getsize(p) > min_size
     with open(p, "rb") as f:
         assert f.read(6) in (b"GIF87a", b"GIF89a")
+
+
+def _assert_svg(p):
+    text = open(p).read()
+    assert text.startswith("<svg")
+    assert "polyline" in text
+    assert text.rstrip().endswith("</svg>")
+
+
+def test_render_gif_ekf(tmp_path):
+    _assert_gif(render_gif_ekf_localization(tmp_path / "ekf.gif", steps=45))
+
+
+@pytest.mark.slow
+def test_render_gif_family(tmp_path):
+    """The reference's render_gif_* gallery analog (Cargo.toml:60-470)."""
+    _assert_gif(render_gif_particle_filter(tmp_path / "pf.gif", steps=40,
+                                           num_particles=200))
+    _assert_gif(render_gif_dwa_navigation(tmp_path / "dwa.gif", steps=60))
 
 
 def test_render_svg_planners(tmp_path):
     p1 = render_svg_path_planning(tmp_path / "plan.svg")
     p2 = render_svg_rrt(tmp_path / "rrt.svg")
     for p in (p1, p2):
-        text = open(p).read()
-        assert text.startswith("<svg")
-        assert "polyline" in text
-        assert text.rstrip().endswith("</svg>")
+        _assert_svg(p)
+
+
+@pytest.mark.slow
+def test_render_svg_family(tmp_path):
+    """render_*_svg gallery analog: pose-graph before/after, Dubins fan,
+    any-angle comparison."""
+    _assert_svg(render_svg_pose_graph(tmp_path / "pg.svg", size=120))
+    _assert_svg(render_svg_dubins(tmp_path / "dubins.svg"))
+    _assert_svg(render_svg_any_angle(tmp_path / "aa.svg"))
 
 
 def test_png_writer(tmp_path):
