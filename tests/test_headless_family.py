@@ -1,0 +1,95 @@
+"""Headless demo family: every reference `headless_*` example has a
+CI-runnable analog that completes and reports sane metrics
+(crates/rust_robotics/Cargo.toml:60-470; SURVEY.md §2.11).
+
+Fast demos run unmarked; the MPPI closed-loop sims are `slow`.
+"""
+
+import numpy as np
+import pytest
+
+from rust_robotics_tpu.demos.headless_family import HEADLESS, run_headless
+
+FAST = [
+    "headless_grid_planners",
+    "headless_factor_graph_stack",
+    "headless_conformal_sipp",
+    "headless_stl_cbs_multi_robot",
+    "headless_kinodynamic_stl_cbs",
+    "headless_hierarchical_mapf_replanning",
+    "headless_traversal_risk_graph",
+    "headless_clearance_risk_graph",
+    "headless_elevation_risk_graph",
+    "headless_risk_map_smoothing",
+    "headless_adaptive_costmap_namo",
+    "headless_rigid_body_mip_planning",
+]
+SLOW = sorted(set(HEADLESS) - set(FAST))
+
+
+def _check(name):
+    out = run_headless(name)
+    assert isinstance(out, dict) and out
+    for k, v in out.items():
+        if isinstance(v, float):
+            assert np.isfinite(v), f"{name}.{k} not finite"
+    return out
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_fast_headless_demo_completes(name):
+    _check(name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", SLOW)
+def test_slow_headless_demo_completes(name):
+    _check(name)
+
+
+def test_registry_covers_the_reference_headless_family():
+    # 24 here + 3 in demos/headless.py = the reference's 27 examples
+    assert len(HEADLESS) == 23
+    assert all(n.startswith("headless_") for n in HEADLESS)
+
+
+def test_grid_planners_orderings():
+    out = run_headless("headless_grid_planners")
+    # 4-conn >= 8-conn optimum; ARA* final == optimal; beam bounded below
+    assert out["wavefront_4_cost"] >= out["wavefront_8_cost"] - 1e-9
+    assert abs(out["ara_final_cost"] - out["wavefront_8_cost"]) < 1e-6
+    assert out["beam_ge_optimal"]
+
+
+def test_factor_graph_stack_gates():
+    out = run_headless("headless_factor_graph_stack")
+    assert out["stationary_imu_drift"] < 1e-6
+    assert out["pose_graph_terminal_error"] < 0.2
+    assert out["bundle_adjustment_mean_point_error"] < 0.1
+    assert out["point_to_plane_icp_transform_error"] < 1e-3
+
+
+def test_adaptive_costmap_namo_replans_around():
+    out = run_headless("headless_adaptive_costmap_namo")
+    assert out["initial_through_corridor"]
+    assert out["replanned_around"]
+    assert out["stuck_observations_to_lethal"] == 3
+    assert out["replanned_cost"] > out["initial_cost"]
+
+
+def test_risk_family_orderings():
+    t = run_headless("headless_traversal_risk_graph")
+    assert t["risk_averse_safer"]
+    c = run_headless("headless_clearance_risk_graph")
+    assert c["clearance_improved"]
+    e = run_headless("headless_elevation_risk_graph")
+    assert e["avoids_blocked"] and e["blocked_cells"] >= 1
+    s = run_headless("headless_risk_map_smoothing")
+    assert s["smoothing_straightens"]
+
+
+@pytest.mark.slow
+def test_terminal_value_beats_naive_behind_wall():
+    out = run_headless("headless_mppi_terminal_value")
+    assert out["value_wins"]
+    assert out["value_final_distance"] < out["naive_final_distance"]
