@@ -227,7 +227,12 @@ def two_contact_twist(params: PusherSliderParams, faces, contacts,
         # pad: force unused unknowns/equations to z=0 via identity
         for k in range(max(ne, nz), 4):
             amat = amat.at[k, k].set(1.0)
-        z = jnp.linalg.solve(amat + 1e-12 * jnp.eye(4), bvec)
+        # regularization must sit above machine epsilon for the active
+        # dtype: 1e-12 is fine under x64 but vanishes in f32, where a
+        # near-singular mode combo then solves to garbage
+        eps = 1e-12 if amat.dtype == jnp.float64 else 1e-4
+        z = jnp.linalg.solve(amat + eps * jnp.eye(4, dtype=amat.dtype),
+                             bvec)
         f = force_of(z)
         v, om = twist_of(f)
 

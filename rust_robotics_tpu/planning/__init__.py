@@ -100,3 +100,9 @@ from rust_robotics_tpu.planning.a_star_variants import (  # noqa: F401
     AStarVariantConfig,
     AStarVariantPlanner,
 )
+from rust_robotics_tpu.planning.jps import (  # noqa: F401
+    jps_costs,
+    jps_plan,
+    jump_distances,
+    jump_point_mask,
+)

@@ -289,7 +289,9 @@ def rigid_body_rrt_plan(key, start, goal, obstacles,
         mid = 0.5 * (np.asarray(a) + np.asarray(b))
         return all(feasible_pose(p) for p in (a, mid, b))
 
-    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31)))
+    # 2**31 overflows int32 maxval when x64 is disabled
+    rng = np.random.default_rng(
+        int(jax.random.randint(key, (), 0, 2**31 - 1)))
     nodes = [np.asarray(start, float)]
     parents = [-1]
     goal = np.asarray(goal, float)
