@@ -366,6 +366,312 @@ def bench_sampling_quality():
     return header, rows
 
 
+# ---------------------------------------------------------------------------
+# Round-2 breadth: the remaining reference benchmark_* families
+# (benchmark_localizers.rs, benchmark_admm_*.rs, benchmark_cbf_safety_filter.rs,
+#  benchmark_conformal_*.rs, benchmark_factor_graph_scaling.rs,
+#  benchmark_hierarchical_mapf_*.rs, benchmark_meta_control.rs,
+#  benchmark_pusher_slider*.rs, benchmark_racing_*.rs,
+#  benchmark_rigid_body_backends.rs, benchmark_traversal_risk_sweep.rs,
+#  benchmark_branchout_closed_loop.rs, benchmark_adap_rpf_metrics.rs)
+
+
+def bench_localizers():
+    from rust_robotics_tpu.demos.headless_family import headless_localizers
+
+    out = headless_localizers(steps=120)
+    header = ["filter", "position_rmse"]
+    rows = [[n, out[f"{n}_rmse"]] for n in ("ekf", "ukf", "ckf", "pf")]
+    return header, rows
+
+
+def bench_admm_formation():
+    from rust_robotics_tpu.control.admm import (
+        ADMMConfig, solve_formation_consensus)
+
+    offsets = jnp.array([[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]])
+    positions = jnp.array([[5.8, 2.1], [4.1, 2.0], [5.1, 2.9], [4.9, 1.2]])
+    center, targets, res = solve_formation_consensus(
+        positions, offsets, cfg=ADMMConfig(iterations=200))
+    header = ["agents", "center_x", "center_y", "primal_residual",
+              "max_offset_error"]
+    err = float(jnp.max(jnp.linalg.norm(
+        (targets - center) - offsets, axis=-1)))
+    rows = [[4, float(center[0]), float(center[1]),
+             float(res.primal_residual), err]]
+    return header, rows
+
+
+def bench_admm_graph_consensus():
+    from rust_robotics_tpu.control.admm import ADMMConfig, solve_consensus
+
+    header = ["agents", "consensus_x", "consensus_y", "primal_residual",
+              "mean_error"]
+    rows = []
+    for n in (3, 8):
+        t = jnp.stack([jnp.linspace(0.0, 4.0, n),
+                       jnp.sin(jnp.linspace(0.0, 3.0, n))], axis=-1)
+        res = solve_consensus(t, cfg=ADMMConfig(iterations=300))
+        rows.append([n, float(res.z[0]), float(res.z[1]),
+                     float(res.primal_residual),
+                     float(jnp.mean(jnp.linalg.norm(t - res.z, axis=-1)))])
+    return header, rows
+
+
+def bench_cbf_safety_filter():
+    from rust_robotics_tpu.control.cbf import (
+        CBFConfig, cbf_filter_single_integrator)
+
+    cfg = CBFConfig(alpha=2.0)
+    obstacles = jnp.array([[2.0, 0.0]])
+    radii = jnp.array([1.0])
+    pos = jnp.array([0.0, 0.0])
+    dt = 0.05
+    min_h = np.inf
+    for _ in range(150):
+        u = cbf_filter_single_integrator(pos, jnp.array([1.5, 0.0]),
+                                         obstacles, radii, cfg)
+        pos = pos + dt * u
+        min_h = min(min_h, float(
+            jnp.sum((pos - obstacles[0]) ** 2) - radii[0] ** 2))
+    far = cbf_filter_single_integrator(jnp.array([-50.0, 0.0]),
+                                       jnp.array([1.5, 0.0]),
+                                       obstacles, radii, cfg)
+    header = ["steps", "min_barrier_value", "barrier_maintained",
+              "inactive_far_error"]
+    rows = [[150, min_h, min_h > -0.05,
+             float(jnp.linalg.norm(far - jnp.array([1.5, 0.0])))]]
+    return header, rows
+
+
+def bench_conformal_coverage():
+    from rust_robotics_tpu.planning.conformal import (
+        calibration_errors_from_trajectories, conformal_radius_at,
+        empirical_quantile)
+
+    t = np.arange(12, dtype=float)
+    pred = np.stack([t, 0.5 * np.sin(0.3 * t)], -1)[None]
+    obs = pred + 0.3 * np.stack([np.sin(1.1 * t), np.cos(0.7 * t)], -1)[None]
+    errs = calibration_errors_from_trajectories(jnp.asarray(pred),
+                                                jnp.asarray(obs))
+    header = ["horizon", "q50", "q90", "radius_90"]
+    rows = []
+    for k in (2, 6, 11):
+        s = errs[k]
+        rows.append([k, float(empirical_quantile(s, 0.5)),
+                     float(empirical_quantile(s, 0.9)),
+                     float(conformal_radius_at(errs, k, 0.9,
+                                               obstacle_radius=0.5))])
+    return header, rows
+
+
+def bench_conformal_sipp():
+    from rust_robotics_tpu.demos.headless_family import (
+        headless_conformal_sipp)
+
+    out = headless_conformal_sipp()
+    header = ["arrival", "min_confidence", "trajectory_violation_bound"]
+    rows = [[out["arrival"], out["min_confidence"],
+             out["trajectory_violation_bound"]]]
+    return header, rows
+
+
+def bench_factor_graph_scaling():
+    from rust_robotics_tpu.demos.pose_graph_bench import (
+        rmse, synthesize_chain)
+    from rust_robotics_tpu.slam.pose_graph import optimize_pose_graph_2d
+
+    header = ["size", "solver", "iterations", "rmse"]
+    rows = []
+    for size, solver in ((100, "dense"), (100, "pcg"), (400, "dense")):
+        truth, initial, ef, et, meas, info = synthesize_chain(size)
+        poses, summary = optimize_pose_graph_2d(initial, ef, et, meas, info,
+                                                linear_solver=solver)
+        rows.append([size, solver, int(summary.iterations),
+                     rmse(np.asarray(poses), truth)])
+    return header, rows
+
+
+def bench_hierarchical_mapf():
+    from rust_robotics_tpu.demos.headless_family import (
+        headless_hierarchical_mapf_replanning)
+    from rust_robotics_tpu.planning.stl import hierarchical_mapf_plan
+
+    out = headless_hierarchical_mapf_replanning()
+    header = ["scenario", "makespan", "success", "region_conflicts"]
+    rows = [["base", out["base_makespan"], out["base_success"],
+             out["region_conflicts"]],
+            ["narrowed_door", out["replan_makespan"], out["replan_success"],
+             out["region_conflicts"]]]
+    # scale row (benchmark_hierarchical_mapf_scale.rs): 6 agents on 32x32
+    free = np.ones((32, 32), bool)
+    free[16, 4:28] = False
+    starts = [(2, 2), (2, 29), (29, 2), (4, 16), (29, 16), (16, 2)]
+    goals = [(29, 29), (29, 2), (2, 29), (28, 16), (4, 15), (16, 29)]
+    big = hierarchical_mapf_plan(jnp.asarray(free), starts, goals,
+                                 t_max=96, region_size=8)
+    arr = np.asarray(big["arrivals"])
+    rows.append(["six_agents_32x32", int(arr.max()),
+                 bool(np.all(arr >= 0)), int(big["region_conflicts"])])
+    return header, rows
+
+
+def bench_meta_control():
+    from rust_robotics_tpu.control.meta import meta_control_step
+    from rust_robotics_tpu.control.trackers import (
+        bicycle_kinematics, pure_pursuit_control, stanley_control)
+
+    xs = jnp.linspace(0.0, 40.0, 401)
+    pts = jnp.stack([xs, 2.0 * jnp.sin(xs / 8.0)], axis=-1)
+    mask = jnp.ones(401)
+    state = jnp.array([0.0, -1.0, 0.2, 1.0])
+    use, ema = jnp.asarray(False), jnp.asarray(0.0)
+    switches = 0
+    prev = False
+    for _ in range(200):
+        accel, steer, use, ema = meta_control_step(
+            state, pts, mask, 3.0, use, ema,
+            lambda s: pure_pursuit_control(s, pts, mask, 3.0),
+            lambda s: stanley_control(s, pts, mask, 3.0))
+        cur = bool(use)
+        switches += int(cur != prev)
+        prev = cur
+        state = bicycle_kinematics(state, accel, steer, 0.1, 2.9)
+    d = jnp.linalg.norm(pts[:, :2] - state[:2], axis=-1)
+    header = ["steps", "progress_x", "final_cross_track", "switches"]
+    rows = [[200, float(state[0]), float(jnp.min(d)), switches]]
+    return header, rows
+
+
+def bench_pusher_slider():
+    from rust_robotics_tpu.control.pusher_slider import (
+        PusherMppiConfig, PusherSliderParams, simulate_push, two_contact_step)
+
+    p = PusherSliderParams(half_extent=0.5, char_len=0.35,
+                           pusher_friction=0.3)
+    rep = simulate_push(
+        jax.random.PRNGKey(0), p,
+        start=jnp.array([0.0, 0.0, 0.0]),
+        goal=jnp.array([1.2, 0.6, 0.0]),
+        steps=40, cfg=PusherMppiConfig(horizon=12, num_samples=64),
+        goal_tol=0.12)
+    header = ["variant", "final_position_error", "faces_used", "finite"]
+    rows = [["single_contact_mppi", float(rep["final_position_error"]),
+             len(set(np.asarray(rep["faces"]).tolist())),
+             bool(np.all(np.isfinite(rep["trajectory"])))]]
+    # two-contact couple on opposite faces: spin-dominant twist
+    from rust_robotics_tpu.control.pusher_slider import two_contact_twist
+
+    twist, modes, valid = two_contact_twist(
+        p, faces=(0, 2), contacts=(0.0, 0.0),
+        push_speeds=(0.05, 0.05), tangent_speeds=(0.5, 0.5))
+    rows.append(["two_contact_couple",
+                 float(jnp.linalg.norm(twist[:2])), 2,
+                 bool(valid) and abs(float(twist[2])) > 0.1])
+    return header, rows
+
+
+def bench_racing_motor():
+    from rust_robotics_tpu.control.racing import (
+        MotorQuadParams, hover_state, motor_quad_step)
+
+    p = MotorQuadParams()
+    s = hover_state(0.0, 0.0, 1.5, p)
+    hover_cmd = jnp.full(4, p.gravity / 4.0)  # unit mass, thrust = Σ rotors
+    for _ in range(100):
+        s = motor_quad_step(p, s, hover_cmd, 0.01)
+    header = ["steps", "hover_drift", "final_vertical_speed", "finite"]
+    rows = [[100, float(jnp.linalg.norm(
+                s[:3] - jnp.array([0.0, 0.0, 1.5]))),
+             float(jnp.abs(s[5])), bool(jnp.all(jnp.isfinite(s)))]]
+    return header, rows
+
+
+def bench_racing_powertrain():
+    from rust_robotics_tpu.demos.headless_family import (
+        headless_mppi_racing_gate_progress)
+
+    out = headless_mppi_racing_gate_progress()
+    header = ["gates_passed", "lap_fraction", "saturation_fraction",
+              "final_soc"]
+    rows = [[out["gates_passed"], out["lap_fraction"],
+             out["saturation_fraction"], out["final_soc"]]]
+    return header, rows
+
+
+def bench_rigid_body_backends():
+    from rust_robotics_tpu.planning.rigid_body import (
+        RigidBodyConfig, aabb_obstacle, rigid_body_lattice_plan,
+        rigid_body_rrt_plan)
+
+    cfg = RigidBodyConfig(position_step=0.5, heading_count=8)
+    obstacles = (aabb_obstacle(3.5, 6.5, 0.0, 6.0),)
+    header = ["backend", "path_length", "min_separation_margin"]
+    lat = rigid_body_lattice_plan((1.0, 1.0, 0.0), (9.0, 1.0, 0.0),
+                                  obstacles, cfg)
+    rows = [["lattice", lat["path_length"], lat["min_separation_margin"]]]
+    rrt = rigid_body_rrt_plan(jax.random.PRNGKey(0), (1.0, 1.0, 0.0),
+                              (9.0, 1.0, 0.0), obstacles, cfg,
+                              max_nodes=600)
+    rows.append(["rrt", rrt["path_length"], rrt["min_separation_margin"]])
+    return header, rows
+
+
+def bench_traversal_risk_sweep():
+    from rust_robotics_tpu.demos.headless_family import _ridge_elevation
+    from rust_robotics_tpu.planning.risk_graph import (
+        sweep_risk_weights, terrain_risk_from_elevation)
+
+    risk = terrain_risk_from_elevation(jnp.asarray(_ridge_elevation()),
+                                       blocking_step_height=1.0)
+    out = sweep_risk_weights(risk, (0, 4), (14, 4),
+                             risk_weights=jnp.array([0.0, 2.0, 8.0]))
+    header = ["risk_weight", "cost", "path_cells"]
+    rows = [[float(o["risk_weight"]), float(o["cost"]),
+             int(np.asarray(o["path_mask"]).sum())] for o in out]
+    return header, rows
+
+
+def bench_branchout_closed_loop():
+    from rust_robotics_tpu.demos.headless_family import (
+        headless_branchout_multimodal_driving)
+
+    out = headless_branchout_multimodal_driving()
+    header = ["route_completion", "no_collision_rate", "min_clearance",
+              "modes_used"]
+    rows = [[out["route_completion"], out["no_collision_rate"],
+             out["min_clearance"], out["modes_used"]]]
+    return header, rows
+
+
+def bench_adap_rpf_metrics():
+    from rust_robotics_tpu.demos.headless_family import headless_adap_rpf_mppi
+
+    out = headless_adap_rpf_mppi(steps=24)
+    header = ["sampler", "mean_occlusion", "mean_proximity",
+              "final_distance"]
+    rows = [["fixed_back_point", out["fixed_mean_occlusion"],
+             out["fixed_mean_proximity"], out["fixed_final_distance"]],
+            ["adaptive_rpf", out["adaptive_mean_occlusion"],
+             out["adaptive_mean_proximity"], out["adaptive_final_distance"]]]
+    return header, rows
+
+
+def bench_safe_decode():
+    from rust_robotics_tpu.planning.stl import StlRectangle, safe_decode_nav
+
+    free = np.ones((12, 12), bool)
+    hazard = StlRectangle(3.0, 8.0, 3.0, 8.0)
+    out = safe_decode_nav(free, (0, 0), (11, 11), t_max=30,
+                          avoid_regions=((hazard, (0, 29)),))
+    header = ["overrides", "greedy_avoid_robustness",
+              "shielded_avoid_robustness", "robustness_gain"]
+    rows = [[int(out["overrides"]), float(out["greedy_avoid_robustness"]),
+             float(out["shielded_avoid_robustness"]),
+             float(out["robustness_gain"])]]
+    return header, rows
+
+
 PINNED = {
     "ekf-localization-benchmark": bench_ekf_localization,
     "pose-graph-benchmark": bench_pose_graph,
@@ -384,6 +690,23 @@ PINNED = {
     "slam-node-benchmark": bench_slam_node,
     "arm-rrt-star-benchmark": bench_arm_rrt_star,
     "sampling-quality-benchmark": bench_sampling_quality,
+    "localizers-benchmark": bench_localizers,
+    "admm-formation-benchmark": bench_admm_formation,
+    "admm-graph-consensus-benchmark": bench_admm_graph_consensus,
+    "cbf-safety-filter-benchmark": bench_cbf_safety_filter,
+    "conformal-coverage-benchmark": bench_conformal_coverage,
+    "conformal-sipp-benchmark": bench_conformal_sipp,
+    "factor-graph-scaling-benchmark": bench_factor_graph_scaling,
+    "hierarchical-mapf-benchmark": bench_hierarchical_mapf,
+    "meta-control-benchmark": bench_meta_control,
+    "pusher-slider-benchmark": bench_pusher_slider,
+    "racing-motor-benchmark": bench_racing_motor,
+    "racing-powertrain-benchmark": bench_racing_powertrain,
+    "rigid-body-backends-benchmark": bench_rigid_body_backends,
+    "traversal-risk-sweep-benchmark": bench_traversal_risk_sweep,
+    "branchout-closed-loop-benchmark": bench_branchout_closed_loop,
+    "adap-rpf-metrics-benchmark": bench_adap_rpf_metrics,
+    "safe-decode-benchmark": bench_safe_decode,
 }
 
 

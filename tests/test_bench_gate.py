@@ -21,7 +21,9 @@ ASSETS = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                       "docs", "assets")
 
 SLOW = {"dwa-navigation-benchmark", "mission-recovery-benchmark",
-        "slam-node-benchmark"}
+        "slam-node-benchmark", "localizers-benchmark",
+        "racing-powertrain-benchmark", "adap-rpf-metrics-benchmark",
+        "pusher-slider-benchmark", "branchout-closed-loop-benchmark"}
 
 FAST = sorted(set(PINNED) - SLOW)
 
