@@ -67,24 +67,37 @@ def main():
 
     m, p = chain(mean0, cov0, 3)  # compile + settle
 
+    # Robust estimator (VERDICT r02 weak #1): the single two-burst marginal
+    # estimate had ±25-35% run-to-run spread through the axon relay, which
+    # cost a phantom 26% "regression" in BENCH_r02. Take the MEDIAN marginal
+    # cost over 5 independent burst pairs and report the spread.
     reps_a, reps_b = 6, 26
-    t0 = time.perf_counter()
-    m, p = chain(m, p, reps_a)
-    t_a = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    m, p = chain(m, p, reps_b)
-    t_b = time.perf_counter() - t0
-    # marginal seconds per call (subtracts constant per-burst overhead)
-    per_call = max((t_b - t_a) / (reps_b - reps_a), 1e-9)
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        m, p = chain(m, p, reps_a)
+        t_a = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        m, p = chain(m, p, reps_b)
+        t_b = time.perf_counter() - t0
+        samples.append(max((t_b - t_a) / (reps_b - reps_a), 1e-9))
+    per_call = float(np.median(samples))
 
     updates_per_s = b * t / per_call
     baseline = 1000 / 0.19e-3  # reference: 1000 EKF steps / 0.19 ms
 
-    extras = {}
+    extras = {
+        "ekf_updates_per_s_spread": {
+            "median": updates_per_s,
+            "min": b * t / max(samples),
+            "max": b * t / min(samples),
+        },
+    }
     try:
         extras["grid_cells_relaxed_per_s"] = _bench_grid_cells(jax, jnp)
         extras["resampled_particles_per_s"] = _bench_resample(jax, jnp,
                                                               on_tpu)
+        extras["pose_graph_10k"] = _bench_pose_graph_10k()
     except Exception as e:  # noqa: BLE001 — extras must never kill the line
         extras["error"] = str(e)
 
@@ -126,12 +139,15 @@ def _bench_grid_cells(jax, jnp):
     sweeps = max(int(finite.max() / 1.0), 1) if finite.size else w + h
     import time as _time
 
-    t0 = _time.perf_counter()
+    vals = []
     reps = 10
-    for _ in range(reps):
-        costs = run(free)
-    np.asarray(costs)
-    per = (_time.perf_counter() - t0) / reps
+    for _ in range(5):
+        t0 = _time.perf_counter()
+        for _ in range(reps):
+            costs = run(free)
+        np.asarray(costs)
+        vals.append((_time.perf_counter() - t0) / reps)
+    per = float(np.median(vals))
     return b * w * h * sweeps / per
 
 
@@ -152,13 +168,27 @@ def _bench_resample(jax, jnp, on_tpu):
     run = jax.jit(lambda w_, u_, s_: systematic_resample_gather(w_, u_, s_))
     out = run(wgt, u, s)
     np.asarray(out[1])
-    t0 = _time.perf_counter()
+    vals = []
     reps = 20
-    for _ in range(reps):
-        out = run(wgt, u, s)
-    np.asarray(out[1])
-    per = (_time.perf_counter() - t0) / reps
+    for _ in range(5):
+        t0 = _time.perf_counter()
+        for _ in range(reps):
+            out = run(wgt, u, s)
+        np.asarray(out[1])
+        vals.append((_time.perf_counter() - t0) / reps)
+    per = float(np.median(vals))
     return b * p / per
+
+
+def _bench_pose_graph_10k():
+    """Flagship large-NLLS workload (README.md:728-730: reference 8.62 s
+    single-core at RMSE <= 2.2e-3): device-resident LM + matfree-PCG on the
+    10k-pose chain. Reports wall-clock (excl. compile) and RMSE."""
+    from rust_robotics_tpu.demos.pose_graph_bench import run_large_benchmark
+
+    seconds, err, iters = run_large_benchmark(10000, device_resident=True)
+    return {"seconds": seconds, "rmse": err, "lm_iterations": iters,
+            "reference_seconds": 8.62}
 
 
 if __name__ == "__main__":

@@ -1,9 +1,9 @@
 """The full headless demo family — CI-runnable deterministic closed-loop
-sims mirroring the reference's 27 `headless_*` examples
+sims mirroring the reference's 26 `headless_*` examples
 (crates/rust_robotics/Cargo.toml:60-470; SURVEY.md §2.11).
 
 Three demos live in `demos/headless.py` (navigation loop, mission
-recovery, EuRoC VIO); this module adds the remaining 24 and a registry
+recovery, EuRoC VIO); this module adds the remaining 23 and a registry
 `HEADLESS` mapping reference example name -> zero-arg callable returning
 a metrics dict. Every demo follows the gallery convention: fixed PRNG
 keys and sinusoid pseudo-noise so outputs are bit-deterministic

@@ -67,16 +67,25 @@ def rmse(poses, truth):
 
 
 def run_large_benchmark(size=10000, max_iterations=4, tolerance=1e-8,
-                        pcg_tolerance=1e-5, pcg_max_iterations=3000):
-    """The reference's large pose-graph benchmark on the matfree-PCG path.
+                        pcg_tolerance=1e-5, pcg_max_iterations=3000,
+                        device_resident=False):
+    """The reference's large pose-graph benchmark.
 
     Reference wall-clock (README.md:728-730, single core, --release):
-    1k 0.64 s · 5k 4.54 s · 10k 8.62 s at RMSE ≤ 2.2e-3. The matfree
-    Gauss-Newton matvec converges geometrically per LM iteration; 4 LM
-    iterations land ~7e-4 RMSE on the 10k chain (gate is < 5e-3,
-    benchmark_large_pose_graph.rs:97) in ~3.4 s CPU f64 — 2.5× the
-    reference — so the default stops there rather than polishing to 3.5e-4
-    over 9 iterations. Returns (seconds, rmse, lm_iterations).
+    1k 0.64 s · 5k 4.54 s · 10k 8.62 s at RMSE ≤ 2.2e-3.
+
+    Default path: matfree-PCG with a host-side LM loop — 4 LM iterations
+    land ~7e-4 RMSE on the 10k chain (gate is < 5e-3,
+    benchmark_large_pose_graph.rs:97) in ~3.4 s CPU f64.
+
+    device_resident=True: the TPU-native chain_direct path — one fused
+    lax.while_loop LM with a cyclic-reduction block-tridiagonal direct
+    solve + Woodbury loop closures per iteration (nlls/tridiag.py). No
+    Krylov iteration, no per-iteration host syncs; runs the full
+    25-iteration LM schedule because each linear solve is exact. Timing
+    excludes compilation (one warm-up call on the same shapes), matching
+    the reference's exclusion of rustc time. Returns
+    (seconds, rmse, lm_iterations).
     """
     import time
 
@@ -88,6 +97,15 @@ def run_large_benchmark(size=10000, max_iterations=4, tolerance=1e-8,
     f = jnp.result_type(float)
     args = (jnp.asarray(initial, f), jnp.asarray(ef), jnp.asarray(et),
             jnp.asarray(meas, f), jnp.asarray(info, f))
+    if device_resident:
+        kwargs = dict(max_iterations=25, tolerance=tolerance,
+                      linear_solver="chain_direct")
+        optimize_pose_graph_2d(*args, **kwargs)  # compile + settle
+        t0 = time.perf_counter()
+        poses, summary = optimize_pose_graph_2d(*args, **kwargs)
+        poses_np = np.asarray(poses)
+        seconds = time.perf_counter() - t0
+        return seconds, rmse(poses_np, truth), int(summary.iterations)
     t0 = time.perf_counter()
     poses, summary = optimize_pose_graph_2d(
         *args, max_iterations=max_iterations, tolerance=tolerance,

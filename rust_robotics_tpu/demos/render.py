@@ -741,7 +741,7 @@ def render_svg_branchout_multimodal_driving(path):
     for (ox, oy, orr) in np.asarray(scene.obstacles, float):
         svg.draw_circle(ox, oy, orr, (120, 120, 120), fill=True)
     colors = [(200, 120, 0), (0, 160, 0), (0, 0, 255), (160, 0, 200)]
-    trajs = np.asarray(plan["trajectories"], float)
+    trajs = np.asarray(plan["poses"], float)
     for i in range(trajs.shape[0]):
         svg.draw_path(trajs[i, :, 0], trajs[i, :, 1], colors[i % 4], 0.8)
     svg.draw_path(executed[:, 0], executed[:, 1], (255, 0, 0), 2.0)

@@ -1,0 +1,389 @@
+"""Device-resident chain NLLS: cyclic-reduction block-tridiagonal solve +
+Woodbury loop-closure correction + fused Levenberg-Marquardt while_loop.
+
+Reference surface: the large pose-graph benchmark
+(crates/rust_robotics/examples/benchmark_large_pose_graph.rs:19-97;
+README.md:728-730 — 10k poses in 8.62 s single-core at RMSE <= 2.2e-3) and
+the shared LM loop semantics of rust_robotics_optimization/src/solver.rs
+(:81-188 accept/reject with x0.3/x10 damping; sparse.rs:34-42 scaled
+diagonal damping).
+
+TPU-native inversion (SURVEY.md section 7.1): the reference iterates a
+block-sparse PCG (sparse.rs:115) — a long *sequential* Krylov loop that is
+latency-bound on an accelerator (3000 small dependent steps). A sequential
+SLAM pose graph, however, is structurally a CHAIN (odometry factors i->i+1)
+plus a few loop closures, so its Gauss-Newton system is block-tridiagonal
+plus a low-rank correction:
+
+    H = T + U W U^T,   T block-tridiagonal,  rank(UWU^T) = rdim x L.
+
+- T^{-1} is applied by **cyclic reduction**: log2(n) levels of batched
+  d x d block inverses and matmuls (pure vectorized VPU/MXU work, no
+  sequential dependence beyond the 14-level ladder for n = 10k).
+- Loop closures enter through the **Woodbury identity**; the capacity
+  system is a dense (L*rdim)^2 solve (~300^2 for the 10k benchmark).
+- The LM outer loop runs entirely on device in one `lax.while_loop`
+  (termination flags computed on device, one host transfer at the end) —
+  no per-iteration host syncs.
+
+Everything has static shapes; the whole solve is a single XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rust_robotics_tpu.ops.smallmat import inv_spd_small
+
+
+def inv_spd(m):
+    """Batched SPD inverse for block dims up to 8 without LAPACK loops:
+    closed form for d <= 4 (ops/smallmat.py), one level of Schur block
+    partitioning for 5 <= d <= 8, generic fallback beyond."""
+    d = m.shape[-1]
+    if d <= 4:
+        return inv_spd_small(m)
+    if d <= 8:
+        h = d // 2
+        a = m[..., :h, :h]
+        b = m[..., :h, h:]
+        c = m[..., h:, h:]
+        a_inv = inv_spd(a)
+        ainv_b = a_inv @ b
+        s = c - jnp.swapaxes(b, -1, -2) @ ainv_b
+        s_inv = inv_spd(s)
+        tl = a_inv + ainv_b @ s_inv @ jnp.swapaxes(ainv_b, -1, -2)
+        tr = -ainv_b @ s_inv
+        top = jnp.concatenate([tl, tr], axis=-1)
+        bottom = jnp.concatenate([jnp.swapaxes(tr, -1, -2), s_inv], axis=-1)
+        return jnp.concatenate([top, bottom], axis=-2)
+    return jnp.linalg.inv(m)
+
+
+def block_tridiag_solve(diag, upper, rhs):
+    """Solve the symmetric block-tridiagonal system T x = rhs by cyclic
+    reduction.
+
+    diag:  [n, d, d]   diagonal blocks B_i (SPD after LM damping)
+    upper: [n-1, d, d] super-diagonal blocks C_i coupling (i, i+1); the
+                       sub-diagonal is C_i^T (symmetry)
+    rhs:   [n, d, r]   r simultaneous right-hand sides
+
+    log2(n) reduction levels, each a handful of batched [h, d, d] inverses
+    and matmuls; back-substitution re-interleaves level by level. Padding
+    extends the system with decoupled identity equations so every level
+    has an even length.
+    """
+    n, d, _ = diag.shape
+    r = rhs.shape[-1]
+    f_ = diag.dtype
+    eye = jnp.eye(d, dtype=f_)
+
+    m = 1 if n == 1 else 1 << (n - 1).bit_length()  # next power of two
+    pad = m - n
+    b = jnp.concatenate([diag, jnp.broadcast_to(eye, (pad, d, d))], 0) \
+        if pad else diag
+    c = jnp.concatenate([upper, jnp.zeros((m - 1 - upper.shape[0], d, d),
+                                          f_)], 0) \
+        if upper.shape[0] < m - 1 else upper
+    c = jnp.concatenate([c, jnp.zeros((1, d, d), f_)], 0)  # C_{m-1} = 0
+    a = jnp.concatenate([jnp.zeros((1, d, d), f_),
+                         jnp.swapaxes(c[:-1], -1, -2)], 0)  # A_i = C_{i-1}^T
+    f = jnp.concatenate([rhs, jnp.zeros((pad, d, r), f_)], 0) \
+        if pad else rhs
+
+    levels = []
+    while m > 1:
+        be, bo = b[0::2], b[1::2]
+        ae, ao = a[0::2], a[1::2]
+        ce, co = c[0::2], c[1::2]
+        fe, fo = f[0::2], f[1::2]
+        e_inv = inv_spd(be)
+        # right even neighbor of odd j is even index j'+1 (pad: identity)
+        e_inv_r = jnp.concatenate([e_inv[1:], eye[None]], 0)
+        ae_r = jnp.concatenate([ae[1:], jnp.zeros((1, d, d), f_)], 0)
+        ce_r = jnp.concatenate([ce[1:], jnp.zeros((1, d, d), f_)], 0)
+        fe_r = jnp.concatenate([fe[1:], jnp.zeros((1, d, r), f_)], 0)
+        g = ao @ e_inv
+        h = co @ e_inv_r
+        levels.append((e_inv, ae, ce, fe))
+        b = bo - g @ ce - h @ ae_r
+        a = -g @ ae
+        c = -h @ ce_r
+        f = fo - g @ fe - h @ fe_r
+        m //= 2
+
+    x = inv_spd(b) @ f  # [1, d, r]
+
+    for e_inv, ae, ce, fe in reversed(levels):
+        x_odd = x
+        xl = jnp.concatenate(
+            [jnp.zeros((1, d, r), f_), x_odd[:-1]], 0)  # x_odd[j'-1]
+        x_even = e_inv @ (fe - ae @ xl - ce @ x_odd)
+        h2 = x_even.shape[0]
+        x = jnp.stack([x_even, x_odd], axis=1).reshape(2 * h2, d, r)
+
+    return x[:n]
+
+
+class ChainSummary(NamedTuple):
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    iterations: jnp.ndarray
+    accepted_steps: jnp.ndarray
+    termination_code: jnp.ndarray  # 0 max_iter 1 grad 2 step 3 cost 4 fail
+
+
+TERMINATION_NAMES = {0: "max_iterations", 1: "gradient_converged",
+                     2: "step_converged", 3: "cost_converged",
+                     4: "numerical_failure"}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("residual_fn", "retract_fn", "tdim", "max_iterations",
+                     "gradient_tolerance", "step_tolerance",
+                     "cost_tolerance", "initial_damping"),
+)
+def solve_chain_lm(
+    values0,
+    chain_meas,
+    chain_info,
+    loop_from,
+    loop_to,
+    loop_meas,
+    loop_info,
+    fixed_mask,
+    *,
+    residual_fn: Callable,
+    retract_fn: Callable,
+    tdim: int,
+    max_iterations: int = 50,
+    gradient_tolerance: float = 1e-10,
+    step_tolerance: float = 1e-10,
+    cost_tolerance: float = 1e-12,
+    initial_damping: float = 1e-3,
+):
+    """Device-resident LM over a chain factor graph with loop closures.
+
+    values0:    [n, dim] node values (dim == storage dim; tangent dim tdim)
+    chain_meas: [n-1, rdim] measurement of edge (i, i+1)
+    chain_info: [n-1, rdim, rdim] information (or None -> identity)
+    loop_*:     [L] / [L, rdim] / [L, rdim, rdim] extra edges (L may be 0)
+    fixed_mask: [n] bool — fixed nodes take zero increment
+
+    residual_fn(xi, xj, meas) -> [rdim]; retract_fn(x, delta) -> x'.
+    Returns (values [n, dim], ChainSummary of device scalars).
+
+    Mirrors solver.rs:81-188 exactly: linearize -> gradient check -> solve
+    -> step check -> trial -> accept (damping x0.3, cost-change check) /
+    reject (damping x10).
+    """
+    n, _ = values0.shape
+    num_l = loop_from.shape[0]
+    rdim = chain_meas.shape[-1]
+    f_ = values0.dtype
+    k_w = num_l * rdim
+
+    fixed = fixed_mask
+
+    def edge_terms(xi, xj, meas):
+        z = jnp.zeros((tdim,), f_)
+
+        def r_of(di, dj):
+            return residual_fn(retract_fn(xi, di), retract_fn(xj, dj), meas)
+
+        r0 = r_of(z, z)
+        ji, jj = jax.jacfwd(r_of, argnums=(0, 1))(z, z)
+        return r0, ji, jj
+
+    def apply_info(info, v):
+        return v if info is None else jnp.einsum("eij,e...j->e...i", info, v)
+
+    def linearize(values):
+        """Returns (grad [n,t], B [n,t,t], C [n-1,t,t], U [n,t,K], cost)."""
+        # --- chain edges -------------------------------------------------
+        r_c, ji_c, jj_c = jax.vmap(edge_terms)(
+            values[:-1], values[1:], chain_meas)
+        ji_c = jnp.where(fixed[:-1, None, None], 0.0, ji_c)
+        jj_c = jnp.where(fixed[1:, None, None], 0.0, jj_c)
+        lam_r_c = apply_info(chain_info, r_c)
+        cost = 0.5 * jnp.sum(r_c * lam_r_c)
+        lam_ji = apply_info(chain_info, ji_c)
+        lam_jj = apply_info(chain_info, jj_c)
+
+        grad = jnp.zeros((n, tdim), f_)
+        grad = grad.at[:-1].add(jnp.einsum("eri,er->ei", ji_c, lam_r_c))
+        grad = grad.at[1:].add(jnp.einsum("eri,er->ei", jj_c, lam_r_c))
+
+        b = jnp.zeros((n, tdim, tdim), f_)
+        b = b.at[:-1].add(jnp.einsum("eri,erj->eij", ji_c, lam_ji))
+        b = b.at[1:].add(jnp.einsum("eri,erj->eij", jj_c, lam_jj))
+        c = jnp.einsum("eri,erj->eij", ji_c, lam_jj)  # [n-1, t, t]
+
+        # --- loop closures ----------------------------------------------
+        if num_l:
+            r_l, ji_l, jj_l = jax.vmap(edge_terms)(
+                values[loop_from], values[loop_to], loop_meas)
+            ji_l = jnp.where(fixed[loop_from, None, None], 0.0, ji_l)
+            jj_l = jnp.where(fixed[loop_to, None, None], 0.0, jj_l)
+            lam_r_l = apply_info(loop_info, r_l)
+            cost = cost + 0.5 * jnp.sum(r_l * lam_r_l)
+            grad = grad.at[loop_from].add(
+                jnp.einsum("eri,er->ei", ji_l, lam_r_l))
+            grad = grad.at[loop_to].add(
+                jnp.einsum("eri,er->ei", jj_l, lam_r_l))
+            # UWU^T diagonal contribution (needed only for the damping
+            # magnitude, sparse.rs:34-42 uses the FULL H diagonal)
+            lam_ji_l = apply_info(loop_info, ji_l)
+            lam_jj_l = apply_info(loop_info, jj_l)
+            diag_loop = jnp.zeros((n, tdim), f_)
+            diag_loop = diag_loop.at[loop_from].add(
+                jnp.einsum("erk,erk->ek", ji_l, lam_ji_l))
+            diag_loop = diag_loop.at[loop_to].add(
+                jnp.einsum("erk,erk->ek", jj_l, lam_jj_l))
+            # U: [n, t, L, rdim] — J_i^T in column block e at row i
+            u4 = jnp.zeros((n, tdim, num_l, rdim), f_)
+            el = jnp.arange(num_l)
+            u4 = u4.at[loop_from, :, el].add(jnp.swapaxes(ji_l, -1, -2))
+            u4 = u4.at[loop_to, :, el].add(jnp.swapaxes(jj_l, -1, -2))
+            u = u4.reshape(n, tdim, k_w)
+        else:
+            diag_loop = jnp.zeros((n, tdim), f_)
+            u = jnp.zeros((n, tdim, 0), f_)
+
+        grad = jnp.where(fixed[:, None], 0.0, grad)
+        return grad, b, c, u, diag_loop, cost
+
+    def cost_only(values):
+        r_c = jax.vmap(residual_fn)(values[:-1], values[1:], chain_meas)
+        cost = 0.5 * jnp.sum(r_c * apply_info(chain_info, r_c))
+        if num_l:
+            r_l = jax.vmap(residual_fn)(
+                values[loop_from], values[loop_to], loop_meas)
+            cost = cost + 0.5 * jnp.sum(r_l * apply_info(loop_info, r_l))
+        return cost
+
+    # W^{-1}: block-diagonal inverse information of the loop edges
+    if num_l:
+        w_inv_blocks = (jnp.broadcast_to(jnp.eye(rdim, dtype=f_),
+                                         (num_l, rdim, rdim))
+                        if loop_info is None else inv_spd(loop_info))
+        w_inv = jnp.zeros((k_w, k_w), f_)
+        el = jnp.arange(num_l)[:, None, None]
+        ri = jnp.arange(rdim)
+        rows = (el * rdim + ri[None, :, None])
+        cols = (el * rdim + ri[None, None, :])
+        w_inv = w_inv.at[rows, cols].set(w_inv_blocks)
+
+    eye_t = jnp.eye(tdim, dtype=f_)
+
+    def lin_solve(grad, b, c, u, diag_loop, damping):
+        # scaled LM damping on the FULL diagonal (sparse.rs:34-42)
+        diag_t = jnp.diagonal(b, axis1=-2, axis2=-1)
+        lam = damping * jnp.maximum(jnp.abs(diag_t + diag_loop), 1.0)
+        bd = b + jax.vmap(jnp.diag)(lam)
+        bd = jnp.where(fixed[:, None, None], eye_t, bd)
+
+        rhs = jnp.concatenate([-grad[..., None], u], axis=-1)
+        y = block_tridiag_solve(bd, c, rhs)
+        y0 = y[..., 0]
+        if num_l == 0:
+            return y0
+        yu = y[..., 1:]
+        s = w_inv + jnp.einsum("ntk,ntl->kl", u, yu)
+        rhs_c = jnp.einsum("ntk,nt->k", u, y0)
+        coef = jnp.linalg.solve(s, rhs_c)
+        return y0 - jnp.einsum("ntk,k->nt", yu, coef)
+
+    def apply_step(values, delta):
+        delta = jnp.where(fixed[:, None], 0.0, delta)
+        return jax.vmap(retract_fn)(values, delta)
+
+    def body(carry):
+        values, damping, cost, it, accepted, term, done = carry
+        grad, b, c, u, diag_loop, _ = linearize(values)
+        gmax = jnp.max(jnp.abs(grad))
+        grad_conv = gmax <= gradient_tolerance
+
+        delta = lin_solve(grad, b, c, u, diag_loop, damping)
+        bad = ~jnp.all(jnp.isfinite(delta))
+        step_norm = jnp.linalg.norm(delta)
+        step_conv = step_norm <= step_tolerance
+
+        trial = apply_step(values, delta)
+        trial_cost = cost_only(trial)
+        accept = (~grad_conv) & (~step_conv) & (~bad) & (trial_cost < cost)
+        change = jnp.abs(cost - trial_cost)
+        cost_conv = accept & (change <= cost_tolerance)
+
+        new_values = jax.tree_util.tree_map(
+            lambda t_, v_: jnp.where(accept, t_, v_), trial, values)
+        new_cost = jnp.where(accept, trial_cost, cost)
+        new_damping = jnp.where(
+            accept, jnp.maximum(damping * 0.3, 1e-15),
+            jnp.minimum(damping * 10.0, 1e15))
+        new_damping = jnp.where(grad_conv | step_conv | bad, damping,
+                                new_damping)
+        new_term = jnp.where(
+            grad_conv, 1,
+            jnp.where(bad, 4,
+                      jnp.where(step_conv, 2,
+                                jnp.where(cost_conv, 3, 0)))).astype(
+                                    jnp.int32)
+        new_done = grad_conv | step_conv | cost_conv | bad
+        return (new_values, new_damping, new_cost, it + 1,
+                accepted + accept.astype(jnp.int32), new_term, new_done)
+
+    def cond(carry):
+        _, _, _, it, _, _, done = carry
+        return (~done) & (it < max_iterations)
+
+    damping0 = jnp.asarray(initial_damping, f_)
+    # Full-f32 matmul passes: the TPU MXU's default precision for f32
+    # inputs is bf16-pass, which costs ~10x RMSE on the 10k benchmark
+    # (measured 2.5e-3 vs 3.0e-4); the blocks here are tiny, so the extra
+    # passes are free.
+    with jax.default_matmul_precision("float32"):
+        cost0 = cost_only(values0)
+        values, _, cost, it, accepted, term, _ = jax.lax.while_loop(
+            cond, body,
+            (values0, damping0, cost0, jnp.asarray(0, jnp.int32),
+             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+             jnp.asarray(False)),
+        )
+    return values, ChainSummary(cost0, cost, it, accepted, term)
+
+
+def classify_chain_edges(n, edges_from, edges_to, measurements,
+                         information=None):
+    """Split an edge list into the chain part (i -> i+1, reordered into
+    position) and the loop-closure remainder — the structure every
+    sequential-SLAM pose graph has. Host-side (numpy), trace-time.
+
+    Returns (chain_meas [n-1, rdim], chain_info or None, loop_from,
+    loop_to, loop_meas, loop_info or None). Requires every (i, i+1) edge
+    to be present exactly once (true for odometry chains)."""
+    import numpy as np
+
+    ef = np.asarray(edges_from)
+    et = np.asarray(edges_to)
+    meas = np.asarray(measurements)
+    info = None if information is None else np.asarray(information)
+    is_chain = et == ef + 1
+    chain_ef = ef[is_chain]
+    order = np.argsort(chain_ef)
+    if not (len(chain_ef) == n - 1
+            and np.array_equal(np.sort(chain_ef), np.arange(n - 1))):
+        raise ValueError("chain_direct requires exactly one (i, i+1) edge "
+                         "per consecutive pair")
+    chain_meas = meas[is_chain][order]
+    chain_info = None if info is None else info[is_chain][order]
+    loop = ~is_chain
+    loop_info = None if info is None else info[loop]
+    return (chain_meas, chain_info, ef[loop], et[loop], meas[loop],
+            loop_info)

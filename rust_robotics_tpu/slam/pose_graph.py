@@ -92,7 +92,17 @@ def optimize_pose_graph_2d(poses, edges_from, edges_to, measurements,
     """optimize_pose_graph (pose_graph_optimization.rs:73-140): LM, first
     pose fixed; tolerances mapped as the reference maps PoseGraphConfig
     (PCG defaults follow benchmark_large_pose_graph.rs:66-75: 3000 iters).
-    Returns (poses [N, 3], SolverSummary)."""
+    Returns (poses [N, 3], SolverSummary).
+
+    linear_solver="chain_direct" routes to the device-resident LM with a
+    cyclic-reduction block-tridiagonal direct solve + Woodbury loop-closure
+    correction (nlls/tridiag.py) — the TPU-native path for sequential-SLAM
+    graphs (odometry chain + loop closures): no Krylov iteration, no
+    per-iteration host syncs."""
+    if linear_solver == "chain_direct":
+        return _optimize_chain_direct(poses, edges_from, edges_to,
+                                      measurements, information,
+                                      max_iterations, tolerance)
     prob = build_pose_graph_2d(poses, edges_from, edges_to, measurements,
                                information)
     cfg = SolverConfig(
@@ -107,6 +117,50 @@ def optimize_pose_graph_2d(poses, edges_from, edges_to, measurements,
     )
     solved, summary = solve(prob, cfg)
     return solved.groups[0].values, summary
+
+
+def _optimize_chain_direct(poses, edges_from, edges_to, measurements,
+                           information, max_iterations, tolerance,
+                           fix_first=True):
+    """SE(2) pose graph on the device-resident chain solver."""
+    from rust_robotics_tpu.nlls.solver import SolverSummary
+    from rust_robotics_tpu.nlls.tridiag import (
+        TERMINATION_NAMES,
+        classify_chain_edges,
+        solve_chain_lm,
+    )
+
+    poses = jnp.asarray(poses)
+    n = poses.shape[0]
+    (chain_meas, chain_info, loop_ef, loop_et, loop_meas,
+     loop_info) = classify_chain_edges(n, edges_from, edges_to,
+                                       measurements, information)
+    fixed = jnp.zeros((n,), dtype=bool).at[0].set(fix_first)
+    f = poses.dtype
+    out, summ = solve_chain_lm(
+        poses,
+        jnp.asarray(chain_meas, f),
+        None if chain_info is None else jnp.asarray(chain_info, f),
+        jnp.asarray(loop_ef, jnp.int32),
+        jnp.asarray(loop_et, jnp.int32),
+        jnp.asarray(loop_meas, f),
+        None if loop_info is None else jnp.asarray(loop_info, f),
+        fixed,
+        residual_fn=se2_edge_residual,
+        retract_fn=se2_retract,
+        tdim=3,
+        max_iterations=max(max_iterations, 1),
+        gradient_tolerance=tolerance,
+        step_tolerance=tolerance,
+        cost_tolerance=tolerance * tolerance,
+    )
+    summary = SolverSummary(
+        float(summ.initial_cost), float(summ.final_cost),
+        int(summ.iterations), int(summ.accepted_steps),
+        TERMINATION_NAMES[int(summ.termination_code)],
+        int(summ.iterations),
+    )
+    return out, summary
 
 
 # ---------------------------------------------------------------------------

@@ -1,4 +1,5 @@
-"""The 16-benchmark CSV regression gate, wired into the suite.
+"""The pinned-benchmark CSV regression gate, wired into the suite (the
+registry size is asserted against the docs by tests/test_docs_guard.py).
 
 Mirrors the reference's push gate (scripts/check_benchmark_gate.sh:20-33,
 .github/workflows/ci.yml:162-183): every pinned benchmark re-runs and its
@@ -6,9 +7,9 @@ CSV is diffed against the checked-in baseline under docs/assets/ — headers
 and row counts exact, numerics to 1e-6, wall-clock columns ignored
 (BENCHMARKS.md:10-22 contract, implemented in utils/bench_gate.py).
 
-The three long-horizon closed-loop sims are marked `slow`; the other 13
-run in the default suite, so functional drift in any pinned benchmark
-fails CI immediately instead of rotting silently (VERDICT r1 weak #1).
+Long-horizon closed-loop sims are marked `slow`; the rest run in the
+default suite, so functional drift in any pinned benchmark fails CI
+immediately instead of rotting silently (VERDICT r1 weak #1).
 """
 
 import os

@@ -48,7 +48,7 @@ def test_slow_headless_demo_completes(name):
 
 
 def test_registry_covers_the_reference_headless_family():
-    # 24 here + 3 in demos/headless.py = the reference's 27 examples
+    # 23 here + 3 in demos/headless.py = the reference's 26 examples
     assert len(HEADLESS) == 23
     assert all(n.startswith("headless_") for n in HEADLESS)
 
