@@ -81,3 +81,62 @@ def solve_formation_consensus(positions, formation_offsets, weights=None,
     res = solve_consensus(targets, weights, cfg)
     center = res.z
     return center, center + jnp.asarray(formation_offsets), res
+
+
+def solve_horizon_consensus(goal_trajs, anchor, smooth_weight=0.0,
+                            anchor_weight=1e4,
+                            cfg: ADMMConfig = ADMMConfig()):
+    """Receding-horizon trajectory consensus
+    (admm_consensus.rs `solve_horizon_consensus`,
+    benchmark_admm_horizon_consensus.rs): agents with noisy per-agent goal
+    trajectories agree on ONE shared center trajectory over the horizon.
+
+    min over z [H, d]:  Σ_i ½‖x_i − g_i‖²  +  (λ/2)‖Δ²z‖²
+    s.t. x_i = z, z_0 ≈ anchor (weight `anchor_weight` — the receding-
+    horizon loop re-anchors each cycle at the executed center).
+
+    The x-update is a per-agent quadratic over the horizon — a batched
+    [H, H] solve per axis (H ≈ 10, trivial); the z-update is the agent
+    mean (the psum); scaled duals close the loop.
+
+    goal_trajs [A, H, d]; anchor [d]. Returns (z [H, d], ADMMResult).
+    """
+    g = jnp.asarray(goal_trajs)
+    n_agents, horizon, d = g.shape
+    f = g.dtype
+    rho = cfg.rho
+    lam = smooth_weight
+
+    # second-difference operator over the horizon (rms-accel penalty)
+    if horizon >= 3:
+        dd = (jnp.eye(horizon, dtype=f)[:-2]
+              - 2.0 * jnp.eye(horizon, k=1, dtype=f)[:-2]
+              + jnp.eye(horizon, k=2, dtype=f)[:-2])
+        smooth = lam * dd.T @ dd
+    else:
+        smooth = jnp.zeros((horizon, horizon), f)
+    w_anchor = jnp.zeros((horizon,), f).at[0].set(anchor_weight)
+    # local systems: (I + diag(w_anchor) + λ DᵀD + ρ I) x = rhs
+    m = (jnp.eye(horizon, dtype=f) * (1.0 + rho) + jnp.diag(w_anchor)
+         + smooth)
+    m_inv = jnp.linalg.inv(m)
+    anchor_term = w_anchor[:, None] * jnp.asarray(anchor)[None, :]
+
+    def body(carry, _):
+        x, z, u = carry
+        rhs = g + anchor_term[None] + rho * (z[None] - u)  # [A, H, d]
+        x = jnp.einsum("ht,atd->ahd", m_inv, rhs)
+        z_new = jnp.mean(x + u, axis=0)
+        u = u + x - z_new
+        return (x, z_new, u), (
+            jnp.linalg.norm(x - z_new[None]),
+            rho * jnp.linalg.norm(z_new - z),
+        )
+
+    x0 = g
+    z0 = jnp.mean(g, axis=0)
+    u0 = jnp.zeros_like(g)
+    (x, z, u), (pr, dr) = jax.lax.scan(
+        body, (x0, z0, u0), None, length=cfg.iterations
+    )
+    return z, ADMMResult(x, z, pr[-1], dr[-1])

@@ -111,6 +111,9 @@ def so3_log(rot):
     # symmetric part: R + I ~ 2 (I + phi phi^T / theta^2) - ... use diagonal.
     diag = jnp.stack([rot[..., 0, 0], rot[..., 1, 1], rot[..., 2, 2]], axis=-1)
     axis_sq = jnp.clip((diag - cos_theta[..., None]) / jnp.clip(1.0 - cos_theta[..., None], 1e-12, None), 0.0, None)
+    # double-where: off the near-pi lanes feed sqrt a 1 so its gradient
+    # stays finite (sqrt'(0) = inf would leak NaN through the final where)
+    axis_sq = jnp.where(near_pi[..., None], axis_sq, jnp.ones_like(axis_sq))
     axis = jnp.sqrt(axis_sq)
     # fix signs from off-diagonal sums (symmetric part signs)
     s12 = rot[..., 0, 1] + rot[..., 1, 0]

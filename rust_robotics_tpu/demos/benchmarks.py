@@ -672,8 +672,230 @@ def bench_safe_decode():
     return header, rows
 
 
+def _square_gates(radius=3.0, height=1.5, aperture=1.2):
+    from rust_robotics_tpu.control.racing import GatePlane
+
+    def gate(center, normal):
+        return GatePlane(center, normal, half_width=aperture,
+                         half_height=aperture)
+
+    return [
+        gate((radius, 0.0, height), (0.0, 1.0, 0.0)),
+        gate((0.0, radius, height), (-1.0, 0.0, 0.0)),
+        gate((-radius, 0.0, height), (0.0, -1.0, 0.0)),
+        gate((0.0, -radius, height), (1.0, 0.0, 0.0)),
+    ]
+
+
+def _race(key_seed, params, steps=60, **kw):
+    from rust_robotics_tpu.control.racing import simulate_gate_race
+
+    gates = _square_gates()
+    return simulate_gate_race(
+        jax.random.PRNGKey(key_seed), gates, params,
+        start=(3.0, -3.0, 1.5), steps=steps, num_samples=128, horizon=14,
+        **kw)
+
+
+def bench_racing_mppi_3d():
+    """benchmark_racing_mppi_3d.rs analog: gate lap racing with ideal
+    actuators at two aperture settings."""
+    from rust_robotics_tpu.control.racing import (
+        MotorQuadParams, PowertrainParams, simulate_gate_race)
+
+    header = ["scenario", "gates", "gates_passed", "lap_fraction",
+              "mean_speed", "max_speed", "path_length"]
+    rows = []
+    for scen, aperture in (("open", 1.6), ("tight", 1.0)):
+        gates = _square_gates(aperture=aperture)
+        out = simulate_gate_race(
+            jax.random.PRNGKey(11), gates,
+            PowertrainParams.ideal(MotorQuadParams()),
+            start=(3.0, -3.0, 1.5), steps=60, num_samples=128, horizon=14)
+        traj = out["trajectory"]
+        plen = float(np.sum(np.linalg.norm(np.diff(traj[:, :3], axis=0),
+                                           axis=1)))
+        rows.append([scen, 4, out["gates_passed"], out["lap_fraction"],
+                     out["mean_speed"], out["max_speed"], plen])
+    return header, rows
+
+
+def bench_racing_quadrotor():
+    """benchmark_racing_quadrotor.rs analog: motor-level quad race with
+    attitude metrics (tilt from the body-z / world-z angle)."""
+    from rust_robotics_tpu.control.racing import (
+        MotorQuadParams, PowertrainParams)
+
+    out = _race(13, PowertrainParams.ideal(MotorQuadParams()))
+    traj = out["trajectory"]
+    q = traj[:, 6:10]  # [w, x, y, z]
+    # body-z in world = rotate (0,0,1): z-component = 1 - 2(x² + y²)
+    cos_tilt = np.clip(1.0 - 2.0 * (q[:, 1] ** 2 + q[:, 2] ** 2), -1, 1)
+    tilt = np.degrees(np.arccos(cos_tilt))
+    rates = np.linalg.norm(traj[:, 10:13], axis=1)
+    header = ["gates", "gates_passed", "lap_fraction", "mean_speed",
+              "mean_tilt_deg", "max_tilt_deg", "mean_body_rate"]
+    rows = [[4, out["gates_passed"], out["lap_fraction"],
+             out["mean_speed"], float(tilt.mean()), float(tilt.max()),
+             float(rates.mean())]]
+    return header, rows
+
+
+def bench_racing_powertrain_aware():
+    """benchmark_racing_powertrain_aware.rs analog: planning through the
+    real powertrain vs planning with ideal actuators (both EXECUTE through
+    the real powertrain)."""
+    from rust_robotics_tpu.control.racing import PowertrainParams
+
+    params = PowertrainParams(sag_coeff=0.35, discharge_rate=0.12)
+    header = ["scenario", "aware", "gates_passed", "lap_fraction",
+              "mean_speed", "saturation_fraction", "min_soc", "final_soc"]
+    rows = []
+    for scen, aware in (("unaware", False), ("aware", True)):
+        out = _race(17, params, aware=aware)
+        rows.append([scen, int(aware), out["gates_passed"],
+                     out["lap_fraction"], out["mean_speed"],
+                     out["saturation_fraction"], out["min_soc"],
+                     out["final_soc"]])
+    return header, rows
+
+
+def bench_racing_powertrain_budget():
+    """benchmark_racing_powertrain_budget.rs analog: ChargeBudget sweep —
+    penalizing load below the reserve preserves state of charge."""
+    from rust_robotics_tpu.control.racing import PowertrainParams
+
+    params = PowertrainParams(sag_coeff=0.2, discharge_rate=0.25)
+    header = ["charge_weight", "gates_passed", "lap_fraction",
+              "mean_speed", "min_soc", "final_soc"]
+    rows = []
+    for weight in (0.0, 2.0, 8.0):
+        out = _race(19, params, charge_weight=weight, charge_reserve=0.9)
+        rows.append([weight, out["gates_passed"], out["lap_fraction"],
+                     out["mean_speed"], out["min_soc"], out["final_soc"]])
+    return header, rows
+
+
+def bench_racing_powertrain_endurance():
+    """benchmark_racing_powertrain_endurance.rs analog: long race under
+    fatigue (relaxation build-up) with and without recovery dynamics."""
+    from rust_robotics_tpu.control.racing import PowertrainParams
+
+    header = ["scenario", "recovery", "gates_passed", "lap_fraction",
+              "mean_speed", "saturation_fraction", "min_soc", "final_soc"]
+    rows = []
+    for scen, recover in (("no_recovery", 0.0), ("recovery", 0.8)):
+        params = PowertrainParams(
+            sag_coeff=0.25, discharge_rate=0.1, relax_build=0.5,
+            relax_recover=recover, relax_coeff=0.3)
+        out = _race(23, params, steps=80, aware=True)
+        rows.append([scen, int(recover > 0), out["gates_passed"],
+                     out["lap_fraction"], out["mean_speed"],
+                     out["saturation_fraction"], out["min_soc"],
+                     out["final_soc"]])
+    return header, rows
+
+
+def bench_racing_powertrain_recovery():
+    """benchmark_racing_powertrain_recovery.rs analog: open-loop
+    square-wave load profile; terminal voltage with vs without relaxation
+    recovery (no MPPI — pure battery dynamics trace)."""
+    from rust_robotics_tpu.control.racing import (
+        MotorQuadParams, PowertrainParams, _voltage_scale, hover_state,
+        powertrain_init, powertrain_step)
+
+    base = MotorQuadParams()
+    common = dict(sag_coeff=0.25, discharge_rate=0.15, relax_build=0.6,
+                  relax_coeff=0.25)
+    p_no = PowertrainParams(base, **common, relax_recover=0.0)
+    p_re = PowertrainParams(base, **common, relax_recover=1.2)
+    dt = 0.1
+    hover = base.gravity / 4.0
+    header = ["step", "time", "load_fraction", "soc",
+              "voltage_no_recovery", "voltage_recovery",
+              "relaxation_recovery"]
+    rows = []
+    s_no = powertrain_init(hover_state(0.0, 0.0, 1.5, base), p_no)
+    s_re = powertrain_init(hover_state(0.0, 0.0, 1.5, base), p_re)
+    for i in range(40):
+        burst = (i // 10) % 2 == 0  # 1 s on / 1 s off square wave
+        cmd = jnp.full(4, (1.8 if burst else 0.6) * hover)
+        s_no = powertrain_step(p_no, s_no, cmd, dt)
+        s_re = powertrain_step(p_re, s_re, cmd, dt)
+        load = float(jnp.clip(jnp.sum(s_re[14:18])
+                              / (4.0 * base.max_rotor_thrust), 0.0, 1.0))
+        v_no = float(_voltage_scale(p_no, s_no[18], load, s_no[19]))
+        v_re = float(_voltage_scale(p_re, s_re[18], load, s_re[19]))
+        rows.append([i, (i + 1) * dt, load, float(s_re[18]), v_no, v_re,
+                     float(s_re[19])])
+    return header, rows
+
+
+def bench_admm_horizon_consensus():
+    """benchmark_admm_horizon_consensus.rs analog: receding-horizon
+    formation consensus tracking an L-corner goal with per-agent noise;
+    stiff (no smoothing) vs smooth executed center paths + metrics."""
+    from rust_robotics_tpu.control.admm import (
+        ADMMConfig, solve_horizon_consensus)
+
+    cycles, horizon, dx, corner, amp = 34, 10, 0.18, 18, 0.25
+
+    def goal(step):
+        if step <= corner:
+            return np.array([step * dx, 0.0])
+        return np.array([corner * dx, (step - corner) * dx])
+
+    def run(smooth_weight):
+        center = goal(0)
+        path = [center]
+        for c in range(cycles):
+            goals = np.stack([goal(c + t) for t in range(horizon)])
+            trajs = []
+            for a in range(4):
+                noise = np.stack([
+                    [amp * np.sin(2.1 * a + 0.7 * (c + t)),
+                     amp * np.cos(1.3 * a + 0.9 * (c + t))]
+                    for t in range(horizon)])
+                trajs.append(goals + noise)
+            z, _ = solve_horizon_consensus(
+                jnp.asarray(np.stack(trajs)), jnp.asarray(center),
+                smooth_weight=smooth_weight,
+                cfg=ADMMConfig(iterations=120))
+            center = np.asarray(z[1])  # execute the first step
+            path.append(center)
+        path = np.stack(path)
+        accel = np.diff(path, 2, axis=0)
+        rms_accel = float(np.sqrt(np.mean(np.sum(accel ** 2, -1))))
+        track = float(np.mean([
+            np.linalg.norm(path[c] - goal(c)) for c in range(len(path))]))
+        return path, rms_accel, track
+
+    stiff_path, stiff_acc, stiff_track = run(0.0)
+    smooth_path, smooth_acc, smooth_track = run(40.0)
+    header = ["cycle", "goal_x", "goal_y", "stiff_x", "stiff_y",
+              "smooth_x", "smooth_y"]
+    rows = []
+    for c in range(cycles + 1):
+        g = goal(c)
+        rows.append([c, g[0], g[1], stiff_path[c, 0], stiff_path[c, 1],
+                     smooth_path[c, 0], smooth_path[c, 1]])
+    rows.append(["metrics", stiff_acc, stiff_track, smooth_acc,
+                 smooth_track,
+                 stiff_acc / max(smooth_acc, 1e-12), 0.0])
+    return header, rows
+
+
 PINNED = {
     "ekf-localization-benchmark": bench_ekf_localization,
+    "admm-horizon-consensus-benchmark": bench_admm_horizon_consensus,
+    "racing-mppi-3d-benchmark": bench_racing_mppi_3d,
+    "racing-quadrotor-benchmark": bench_racing_quadrotor,
+    "racing-powertrain-aware-benchmark": bench_racing_powertrain_aware,
+    "racing-powertrain-budget-benchmark": bench_racing_powertrain_budget,
+    "racing-powertrain-endurance-benchmark":
+        bench_racing_powertrain_endurance,
+    "racing-powertrain-recovery-benchmark":
+        bench_racing_powertrain_recovery,
     "pose-graph-benchmark": bench_pose_graph,
     "grid-planner-benchmark": bench_grid_planners,
     "dwa-navigation-benchmark": bench_dwa_navigation,

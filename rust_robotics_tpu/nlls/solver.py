@@ -542,3 +542,100 @@ def solve(problem: Problem, config: SolverConfig = SolverConfig()):
     return problem.with_values(values), SolverSummary(
         initial_cost, current_cost, it, accepted, termination, total_linear
     )
+
+
+_DEVICE_TERMINATION = {0: "max_iterations", 1: "gradient_converged",
+                       2: "step_converged", 3: "cost_converged",
+                       4: "numerical_failure"}
+
+
+def solve_device(problem: Problem, config: SolverConfig = SolverConfig()):
+    """Fully device-resident LM: the WHOLE outer loop is one
+    `lax.while_loop` — linearize, linear solve (dense or matfree-PCG),
+    trial, accept/reject and termination all on device, one host
+    transfer at the end (VERDICT r02 #1: no per-iteration host syncs).
+
+    Semantics mirror `solve` (solver.rs:81-188) except that the f64 host
+    comparisons become on-device scalars of the problem dtype. Supported
+    linear solvers: "dense", "matfree_pcg" (chain-structured problems
+    should use nlls/tridiag.py instead — direct solve, no Krylov loop).
+    Returns (solved Problem, SolverSummary of concrete Python scalars).
+    """
+    values = problem.values()
+    dtype = values[0].dtype
+    offsets, total = problem.layout()
+    if total == 0:
+        c = float(problem_cost(problem, values))
+        return problem, SolverSummary(c, c, 0, 0, "gradient_converged", 0)
+    if config.linear_solver not in ("dense", "matfree_pcg"):
+        raise ValueError(
+            f"solve_device supports dense|matfree_pcg, "
+            f"got {config.linear_solver!r}")
+    matfree = config.linear_solver == "matfree_pcg"
+    lm = config.method == "lm"
+
+    def lin_and_solve(vals, damping):
+        if matfree:
+            cache, grad, _, fixed, diag = _linearize_matfree(
+                problem, vals, dtype)
+            delta, iters = _solve_matfree_pcg(
+                problem, cache, grad, fixed, diag, damping, lm,
+                config.pcg_max_iterations, config.pcg_tolerance)
+        else:
+            h, grad, _, _ = _linearize_dense(problem, vals, dtype)
+            delta, iters = _solve_dense(h, grad, damping, lm)
+        return grad, delta, iters
+
+    @jax.jit
+    def run(values):
+        cost0 = problem_cost(problem, values)
+
+        def body(carry):
+            vals, damping, cost, it, accepted, lin_tot, term, done = carry
+            grad, delta, lin_iters = lin_and_solve(vals, damping)
+            grad_conv = jnp.max(jnp.abs(grad)) <= config.gradient_tolerance
+            bad = ~jnp.all(jnp.isfinite(delta))
+            step_conv = jnp.linalg.norm(delta) <= config.step_tolerance
+            trial = _apply_increment(problem, vals, delta)
+            trial_cost = problem_cost(problem, trial)
+            accept = ((~grad_conv) & (~step_conv) & (~bad)
+                      & ((config.method == "gn") | (trial_cost < cost)))
+            change = jnp.abs(cost - trial_cost)
+            cost_conv = accept & (change <= config.cost_tolerance)
+            new_vals = jax.tree_util.tree_map(
+                lambda t, v: jnp.where(accept, t, v), trial, vals)
+            new_cost = jnp.where(accept, trial_cost, cost)
+            new_damping = jnp.where(
+                accept, jnp.maximum(damping * 0.3, 1e-15),
+                jnp.minimum(damping * 10.0, 1e15))
+            new_damping = jnp.where(grad_conv | step_conv | bad, damping,
+                                    new_damping)
+            term = jnp.where(
+                grad_conv, 1,
+                jnp.where(bad, 4,
+                          jnp.where(step_conv, 2,
+                                    jnp.where(cost_conv, 3, 0)))
+            ).astype(jnp.int32)
+            done = grad_conv | step_conv | cost_conv | bad
+            return (new_vals, new_damping, new_cost, it + 1,
+                    accepted + accept.astype(jnp.int32),
+                    lin_tot + jnp.asarray(lin_iters, jnp.int32), term,
+                    done)
+
+        def cond(carry):
+            _, _, _, it, _, _, _, done = carry
+            return (~done) & (it < config.max_iterations)
+
+        init = (values, jnp.asarray(config.initial_damping, dtype), cost0,
+                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                jnp.asarray(False))
+        vals, _, cost, it, accepted, lin_tot, term, _ = jax.lax.while_loop(
+            cond, body, init)
+        return vals, cost0, cost, it, accepted, lin_tot, term
+
+    vals, cost0, cost, it, accepted, lin_tot, term = run(values)
+    return problem.with_values(vals), SolverSummary(
+        float(cost0), float(cost), int(it), int(accepted),
+        _DEVICE_TERMINATION[int(term)], int(lin_tot),
+    )

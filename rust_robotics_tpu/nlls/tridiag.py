@@ -366,23 +366,31 @@ def classify_chain_edges(n, edges_from, edges_to, measurements,
     sequential-SLAM pose graph has. Host-side (numpy), trace-time.
 
     Returns (chain_meas [n-1, rdim], chain_info or None, loop_from,
-    loop_to, loop_meas, loop_info or None). Requires every (i, i+1) edge
-    to be present exactly once (true for odometry chains)."""
+    loop_to, loop_meas, loop_info or None). Requires every (i, i+1) pair
+    to have at least one edge (true for odometry chains); EXTRA parallel
+    (i, i+1) edges (e.g. VIO fusion's visual+inertial double edges,
+    vio_pipeline.rs:408) go to the low-rank side with the loop
+    closures."""
     import numpy as np
 
     ef = np.asarray(edges_from)
     et = np.asarray(edges_to)
     meas = np.asarray(measurements)
     info = None if information is None else np.asarray(information)
-    is_chain = et == ef + 1
-    chain_ef = ef[is_chain]
-    order = np.argsort(chain_ef)
-    if not (len(chain_ef) == n - 1
-            and np.array_equal(np.sort(chain_ef), np.arange(n - 1))):
-        raise ValueError("chain_direct requires exactly one (i, i+1) edge "
-                         "per consecutive pair")
-    chain_meas = meas[is_chain][order]
-    chain_info = None if info is None else info[is_chain][order]
+    consecutive = et == ef + 1
+    # first consecutive edge per i becomes the tridiagonal entry;
+    # duplicates are demoted to the Woodbury correction
+    first_idx = np.full(n - 1, -1, dtype=np.int64)
+    for e in np.nonzero(consecutive)[0]:
+        if first_idx[ef[e]] < 0:
+            first_idx[ef[e]] = e
+    if np.any(first_idx < 0):
+        raise ValueError("chain_direct requires at least one (i, i+1) "
+                         "edge per consecutive pair")
+    is_chain = np.zeros(len(ef), dtype=bool)
+    is_chain[first_idx] = True
+    chain_meas = meas[first_idx]
+    chain_info = None if info is None else info[first_idx]
     loop = ~is_chain
     loop_info = None if info is None else info[loop]
     return (chain_meas, chain_info, ef[loop], et[loop], meas[loop],

@@ -172,3 +172,128 @@ def cholesky_solve_pallas(a, b, interpret: bool | None = None):
     l = cholesky_pallas(a, interpret=interpret)
     y = jax.scipy.linalg.solve_triangular(l, b, lower=True)
     return jax.scipy.linalg.solve_triangular(l.T, y, lower=False)
+
+
+# ---------------------------------------------------------------------------
+# Beyond-VMEM: HBM-resident blocked Cholesky (VERDICT r02 #8)
+# ---------------------------------------------------------------------------
+
+def _dot_nt_hi(a, b):
+    """a @ bᵀ at f32-grade precision (bf16×3 splitting, no explicit
+    transpose — dot_general contracts the trailing dims)."""
+    dn = (((1,), (1,)), ((), ()))
+
+    def d(u, v):
+        return jax.lax.dot_general(
+            u.astype(jnp.bfloat16), v.astype(jnp.bfloat16), dn,
+            preferred_element_type=jnp.float32)
+
+    if a.dtype != jnp.float32:
+        return jax.lax.dot_general(a, b, dn, preferred_element_type=a.dtype)
+    ah = a.astype(jnp.bfloat16).astype(jnp.float32)
+    al = a - ah
+    bh = b.astype(jnp.bfloat16).astype(jnp.float32)
+    bl = b - bh
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
+def _chol_large_kernel(a_any, out_any, panel, rbuf, dbuf, sem,
+                       *, n_pad: int, row_chunk: int):
+    """One grid step = one 128-wide panel of a right-looking Cholesky.
+
+    The matrix lives in HBM (aliased in/out); per step only the current
+    column panel [n_pad, 128] and one trailing row chunk [row_chunk,
+    n_pad] are VMEM-resident. The panel is masked to zero above the
+    diagonal block, which makes the full-width trailing update exact with
+    no column masking (zero rows/cols contribute nothing). HBM traffic is
+    O(n³/128) — at n=2560 about 0.7 GB against 819 GB/s, far below the
+    scalar-loop cost of XLA's TPU cholesky at these sizes.
+    """
+    del a_any  # aliased with out_any
+    k = pl.program_id(0)
+    lo = k * BLOCK
+    hi = lo + BLOCK
+    f = out_any.dtype
+
+    # 1. diagonal block: DMA in, factor, L_kk^{-T}
+    dma = pltpu.make_async_copy(
+        out_any.at[pl.ds(lo, BLOCK), pl.ds(lo, BLOCK)], dbuf, sem)
+    dma.start()
+    dma.wait()
+    l_kk = _factor_diag(dbuf[:])
+    inv_t = _tri_inverse(l_kk).T
+
+    # 2. column panel: DMA full column block, scale sub-diagonal rows,
+    #    zero everything else, write back; restore L_kk over the zeros
+    dma = pltpu.make_async_copy(out_any.at[:, pl.ds(lo, BLOCK)], panel, sem)
+    dma.start()
+    dma.wait()
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, BLOCK), 0)
+    masked = jnp.where(rows >= hi, panel[:], jnp.zeros((), f))
+    panel[:] = _dot_hi(masked, inv_t)
+    dma = pltpu.make_async_copy(panel, out_any.at[:, pl.ds(lo, BLOCK)], sem)
+    dma.start()
+    dma.wait()
+    dbuf[:] = l_kk
+    dma = pltpu.make_async_copy(
+        dbuf, out_any.at[pl.ds(lo, BLOCK), pl.ds(lo, BLOCK)], sem)
+    dma.start()
+    dma.wait()
+
+    # 3. trailing rank-128 update, tiled over row chunks
+    for i in range(n_pad // row_chunk):
+        r0 = i * row_chunk
+
+        @pl.when(r0 + row_chunk > hi)
+        def _():
+            dma = pltpu.make_async_copy(
+                out_any.at[pl.ds(r0, row_chunk), :], rbuf, sem)
+            dma.start()
+            dma.wait()
+            upd = _dot_nt_hi(panel[r0:r0 + row_chunk], panel[:])
+            rbuf[:] = rbuf[:] - upd
+            dma = pltpu.make_async_copy(
+                rbuf, out_any.at[pl.ds(r0, row_chunk), :], sem)
+            dma.start()
+            dma.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "row_chunk"))
+def cholesky_pallas_large(a, interpret: bool | None = None,
+                          row_chunk: int | None = None):
+    """Lower Cholesky for matrices past the single-buffer VMEM cap: the
+    matrix stays in HBM, panels stream through VMEM. Any n (padded to
+    128); practical ceiling is the [n_pad, 128] panel (~10 MB at n≈20k)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    n = a.shape[0]
+    pad = (-n) % BLOCK
+    m = n + pad
+    f = a.dtype
+    if pad:
+        a = jnp.pad(a, ((0, pad), (0, pad)))
+        a = a.at[jnp.arange(n, m), jnp.arange(n, m)].set(1.0)
+    if row_chunk is None:
+        # keep the row buffer ≈ 4 MB
+        row_chunk = max(BLOCK, min(512, (4 * 1024 * 1024) // (m * 4)))
+        row_chunk -= row_chunk % BLOCK
+    while m % row_chunk:
+        row_chunk -= BLOCK
+    out = pl.pallas_call(
+        functools.partial(_chol_large_kernel, n_pad=m, row_chunk=row_chunk),
+        grid=(m // BLOCK,),
+        out_shape=jax.ShapeDtypeStruct((m, m), f),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((m, BLOCK), f),
+            pltpu.VMEM((row_chunk, m), f),
+            pltpu.VMEM((BLOCK, BLOCK), f),
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(a)
+    return jnp.tril(out)[:n, :n]

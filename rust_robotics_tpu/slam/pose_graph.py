@@ -207,7 +207,48 @@ def optimize_pose_graph_3d(pose_tangents, edges_from, edges_to,
                            max_iterations=50, tolerance=1e-10,
                            linear_solver="dense"):
     """optimize_pose_graph_3d (pose_graph_optimization_3d.rs:53-119).
-    Returns (pose tangents [N, 6], SolverSummary)."""
+    Returns (pose tangents [N, 6], SolverSummary).
+
+    linear_solver="chain_direct": device-resident LM with the
+    cyclic-reduction tridiagonal solve on 6×6 blocks (nlls/tridiag.py) —
+    odometry chain + loop closures, same routing as the SE(2) path."""
+    if linear_solver == "chain_direct":
+        from rust_robotics_tpu.nlls.solver import SolverSummary
+        from rust_robotics_tpu.nlls.tridiag import (
+            TERMINATION_NAMES,
+            classify_chain_edges,
+            solve_chain_lm,
+        )
+
+        poses = jnp.asarray(pose_tangents)
+        n = poses.shape[0]
+        (c_meas, c_info, l_ef, l_et, l_meas,
+         l_info) = classify_chain_edges(n, edges_from, edges_to,
+                                        measurement_tangents, information)
+        fixed = jnp.zeros((n,), dtype=bool).at[0].set(True)
+        f = poses.dtype
+        out, summ = solve_chain_lm(
+            poses, jnp.asarray(c_meas, f),
+            None if c_info is None else jnp.asarray(c_info, f),
+            jnp.asarray(l_ef, jnp.int32), jnp.asarray(l_et, jnp.int32),
+            jnp.asarray(l_meas, f),
+            None if l_info is None else jnp.asarray(l_info, f),
+            fixed,
+            residual_fn=se3_edge_residual,
+            retract_fn=se3_retract,
+            tdim=6,
+            max_iterations=max(max_iterations, 1),
+            gradient_tolerance=tolerance,
+            step_tolerance=tolerance,
+            cost_tolerance=tolerance * tolerance,
+        )
+        summary = SolverSummary(
+            float(summ.initial_cost), float(summ.final_cost),
+            int(summ.iterations), int(summ.accepted_steps),
+            TERMINATION_NAMES[int(summ.termination_code)],
+            int(summ.iterations),
+        )
+        return out, summary
     prob = build_pose_graph_3d(pose_tangents, edges_from, edges_to,
                                measurement_tangents, information)
     cfg = SolverConfig(

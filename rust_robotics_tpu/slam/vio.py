@@ -168,6 +168,10 @@ def run_vio_pipeline(dataset, tracks, accel_sigma=0.02, gyro_sigma=0.002,
         ]
     )
     init_tangents = se3_log(imu_poses)
+    # dense solve is right for fixture-scale keyframe counts; long
+    # replays should pass linear_solver="chain_direct" — the fusion graph
+    # is exactly the chain+parallel-edge shape nlls/tridiag.py solves
+    # device-resident (tests/test_tridiag.py pins the parallel-edge case)
     fused_tangents, fuse_summary = optimize_pose_graph_3d(
         init_tangents, ef, et, meas, info, max_iterations=30,
     )

@@ -24,7 +24,13 @@ ASSETS = os.path.join(os.path.dirname(os.path.dirname(__file__)),
 SLOW = {"dwa-navigation-benchmark", "mission-recovery-benchmark",
         "slam-node-benchmark", "localizers-benchmark",
         "racing-powertrain-benchmark", "adap-rpf-metrics-benchmark",
-        "pusher-slider-benchmark", "branchout-closed-loop-benchmark"}
+        "pusher-slider-benchmark", "branchout-closed-loop-benchmark",
+        # round-3 MPPI race variants: ~1.5-3 min each on the CI CPU
+        "racing-mppi-3d-benchmark", "racing-quadrotor-benchmark",
+        "racing-powertrain-aware-benchmark",
+        "racing-powertrain-budget-benchmark",
+        "racing-powertrain-endurance-benchmark",
+        "admm-horizon-consensus-benchmark"}
 
 FAST = sorted(set(PINNED) - SLOW)
 

@@ -83,3 +83,20 @@ def test_schur_path_with_pallas_reduced_solver_matches_dense():
                                atol=1e-6)
     np.testing.assert_allclose(out["dense"][1], out["pallas_chol"][1],
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("n", [96, 300, 640])
+def test_cholesky_pallas_large_matches_numpy(n):
+    """HBM-resident blocked path (cholesky_pallas_large): panels stream
+    through VMEM, matrix unbounded by the single-buffer cap."""
+    from rust_robotics_tpu.ops.cholesky_pallas import cholesky_pallas_large
+
+    rng = np.random.default_rng(n)
+    a = rng.normal(size=(n, n)).astype(np.float32)
+    a = a @ a.T + n * np.eye(n, dtype=np.float32)
+    l = np.asarray(cholesky_pallas_large(jnp.asarray(a), interpret=True))
+    ref = np.linalg.cholesky(a.astype(np.float64))
+    rel = np.abs(l - ref).max() / np.abs(ref).max()
+    assert rel < 5e-5, rel
+    # strictly lower triangular output
+    assert np.all(np.triu(l, 1) == 0.0)

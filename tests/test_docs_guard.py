@@ -50,3 +50,26 @@ def test_every_module_is_claimed():
                 unclaimed.append(name)
     assert not unclaimed, (
         f"modules not mentioned in docs/COMPONENTS.md: {unclaimed}")
+
+
+def test_numeric_claims_match_registries():
+    """VERDICT r02 weak #5: numeric claims in the docs drifted from the
+    registries three times. Assert them against the live registries."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from rust_robotics_tpu.demos.benchmarks import PINNED
+    from rust_robotics_tpu.demos.headless_family import HEADLESS
+    from rust_robotics_tpu.demos.render import RENDERS
+
+    text = _doc_text()
+    m = re.search(r"\((\d+) pinned CSV benchmarks", text)
+    assert m, "COMPONENTS.md no longer states the pinned-benchmark count"
+    assert int(m.group(1)) == len(PINNED), (m.group(1), len(PINNED))
+    m = re.search(r"(\d+)-entry registry", text)
+    assert m and int(m.group(1)) == len(RENDERS), (len(RENDERS),)
+    m = re.search(r"\(the remaining (\d+):", text)
+    assert m and int(m.group(1)) == len(HEADLESS), (len(HEADLESS),)
+    # reference truly has 26 headless examples; 3 + remaining = 26
+    m = re.search(r"(\d+) headless_\* examples", text)
+    assert m and int(m.group(1)) == 3 + len(HEADLESS)

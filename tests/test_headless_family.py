@@ -93,3 +93,30 @@ def test_terminal_value_beats_naive_behind_wall():
     out = run_headless("headless_mppi_terminal_value")
     assert out["value_wins"]
     assert out["value_final_distance"] < out["naive_final_distance"]
+
+
+def test_temporal_and_mip_demo_behaviors():
+    """Behavior (not just completion) gates for the temporal/MIP fast
+    demos (VERDICT r02 weak #7)."""
+    c = run_headless("headless_conformal_sipp")
+    assert c["feasible"] and c["arrival"] <= 20
+    assert c["min_confidence"] >= 0.9
+    assert c["trajectory_violation_bound"] <= 0.1
+
+    s = run_headless("headless_stl_cbs_multi_robot")
+    assert s["success"] and s["conflicts_resolved"] >= 1
+    assert s["min_separation"] >= 1.0
+
+    k = run_headless("headless_kinodynamic_stl_cbs")
+    assert k["both_succeed"] and k["speedup"]
+    assert k["fast_arrival"] < k["slow_arrival"]
+    assert k["fast_avoid_robustness"] > 0
+
+    h = run_headless("headless_hierarchical_mapf_replanning")
+    assert h["base_success"] and h["replan_success"]
+    assert h["replan_not_shorter"]
+
+    r = run_headless("headless_rigid_body_mip_planning")
+    assert r["reached"] and r["certified"]
+    assert r["min_separation_margin"] > 0
+    assert r["path_length"] >= 8.0  # at least the straight-line distance

@@ -188,3 +188,28 @@ def test_manifold_angle_retraction():
     val = float(solved.groups[0].values[0, 0])
     assert abs(normalize_angle(val - (-3.0))) < 1e-6
     assert abs(val) > 3.0 or abs(normalize_angle(val + 3.0)) < 1e-6
+
+
+def test_solve_device_matches_host_solver():
+    """Device-resident LM (one fused lax.while_loop, VERDICT r02 #1) ==
+    host-loop solve on the pose-graph benchmark chain, both dense and
+    matfree-PCG linear solvers."""
+    from rust_robotics_tpu.demos.pose_graph_bench import synthesize_chain
+    from rust_robotics_tpu.nlls.solver import solve_device
+    from rust_robotics_tpu.slam.pose_graph import build_pose_graph_2d
+
+    truth, initial, ef, et, meas, info = synthesize_chain(60)
+    prob = build_pose_graph_2d(jnp.asarray(initial), ef, et,
+                               jnp.asarray(meas), jnp.asarray(info))
+    for solver in ("dense", "matfree_pcg"):
+        cfg = SolverConfig(method="lm", max_iterations=25,
+                          gradient_tolerance=1e-10, step_tolerance=1e-10,
+                          cost_tolerance=1e-14, linear_solver=solver,
+                          pcg_max_iterations=2000, pcg_tolerance=1e-10)
+        host, hs = solve(prob, cfg)
+        dev, ds = solve_device(prob, cfg)
+        np.testing.assert_allclose(
+            np.asarray(dev.groups[0].values),
+            np.asarray(host.groups[0].values), atol=1e-7)
+        assert ds.termination == hs.termination, (solver, ds, hs)
+        assert ds.final_cost < 1e-10

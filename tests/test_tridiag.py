@@ -95,3 +95,57 @@ def test_chain_direct_1000_reference_gate():
         linear_solver="chain_direct")
     assert summary.termination != "max_iterations"
     assert rmse(np.asarray(poses), truth) < 5e-3
+
+
+def test_se3_chain_direct_matches_dense():
+    """6×6-block cyclic reduction (inv_spd d=6 path) on an SE(3) chain
+    with a loop closure matches the dense solver."""
+    import jax
+
+    from rust_robotics_tpu.core.lie import se3_exp, se3_inverse, se3_log
+    from rust_robotics_tpu.slam.pose_graph import optimize_pose_graph_3d
+
+    key = jax.random.PRNGKey(4)
+    n = 14
+    truth_t = 0.2 * jax.random.normal(key, (n, 6), dtype=jnp.float64)
+    truth_t = truth_t.at[0].set(0.0)
+    mats = se3_exp(truth_t)
+    ef = jnp.concatenate([jnp.arange(n - 1), jnp.array([0])]).astype(
+        jnp.int32)
+    et = jnp.concatenate([jnp.arange(1, n), jnp.array([n - 1])]).astype(
+        jnp.int32)
+    meas = jnp.concatenate([
+        se3_log(se3_inverse(mats[:-1]) @ mats[1:]),
+        se3_log(se3_inverse(mats[0:1]) @ mats[n - 1:n])])
+    noisy = truth_t + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(5), (n, 6), dtype=jnp.float64)
+    noisy = noisy.at[0].set(0.0)
+    dense, _ = optimize_pose_graph_3d(noisy, ef, et, meas,
+                                      max_iterations=30, tolerance=1e-12)
+    chain, summ = optimize_pose_graph_3d(noisy, ef, et, meas,
+                                         max_iterations=30,
+                                         tolerance=1e-12,
+                                         linear_solver="chain_direct")
+    t_d = se3_exp(dense)
+    t_c = se3_exp(chain)
+    err = se3_log(se3_inverse(t_d) @ t_c)
+    assert float(jnp.max(jnp.abs(err))) < 1e-8
+    assert summ.termination != "max_iterations"
+
+
+def test_chain_direct_parallel_edges_demoted_to_woodbury():
+    """Two parallel (i, i+1) edge sets (the VIO fusion shape,
+    vio_pipeline.rs:408) — extras route to the low-rank correction and
+    the solution still matches the dense solver."""
+    truth, initial, ef, et, meas, info = synthesize_chain(80)
+    ef2 = np.concatenate([ef, ef[:79]])
+    et2 = np.concatenate([et, et[:79]])
+    meas2 = np.concatenate([meas, meas[:79] + 0.001])
+    info2 = np.concatenate([info, 0.5 * info[:79]])
+    dense, _ = optimize_pose_graph_2d(initial, ef2, et2, meas2, info2,
+                                      max_iterations=25, tolerance=1e-8)
+    chain, _ = optimize_pose_graph_2d(initial, ef2, et2, meas2, info2,
+                                      max_iterations=25, tolerance=1e-8,
+                                      linear_solver="chain_direct")
+    np.testing.assert_allclose(np.asarray(chain), np.asarray(dense),
+                               atol=1e-7)
