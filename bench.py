@@ -9,10 +9,10 @@ Baseline (BASELINE.md): the reference runs 1000 sequential EKF steps in
 Workload: B=131072 independent EKF localizers (the reference's 4-state
 unicycle + GPS problem, ekf.rs:17-24) stepped T=200 times by the fused
 Pallas kernel (rust_robotics_tpu/ops/ekf_pallas.py) — the full predict+
-update chain runs in VMEM with batch on the lane axis. Measurement uses the
-marginal cost of additional calls (first-dispatch latency through the axon
-relay is excluded); correctness of the kernel vs the generic jnp path is
-pinned by tests/test_ekf_pallas.py.
+update chain runs in VMEM with batch on the lane axis. Measurement: min of
+7 independent 64-rep dependent-chain bursts, each fenced by a scalar
+readback (compile excluded); correctness of the kernel vs the generic jnp
+path is pinned by tests/test_ekf_pallas.py.
 """
 
 import json
@@ -57,12 +57,14 @@ def main():
 
     def chain(m, p, n):
         # each call consumes the previous belief: a true data dependency, so
-        # n kernel executions CANNOT overlap or be elided; the host readback
-        # at the end forces completion (block_until_ready alone under-reports
-        # through the async axon relay)
+        # n kernel executions CANNOT overlap or be elided; a SCALAR host
+        # readback at the end forces completion of the whole chain
+        # (block_until_ready alone under-reports through the async axon
+        # relay, and a full-array readback costs ~76 ms of relay transfer
+        # that used to pollute the per-burst timing)
         for _ in range(n):
             m, p = ekf_scan_lanes(zs, us, m, p, 0.1, q, r, tile=tile)
-        np.asarray(m)  # plain device->host transfer, no new compilation
+        float(m[0, 0])
         return m, p
 
     m, p = chain(mean0, cov0, 3)  # compile + settle
@@ -71,12 +73,13 @@ def main():
     # MARGINAL estimate had ±25-35% run-to-run spread through the axon
     # relay — the difference of two noisy burst timings amplifies noise,
     # and it cost a phantom 26% "regression" in BENCH_r02. Instead:
-    # 7 independent 26-rep bursts (one readback each); per-call = min of
-    # the burst averages. Plain averages are monotone in the noise
+    # 7 independent 64-rep bursts (one scalar readback each); per-call =
+    # min of the burst averages. Plain averages are monotone in the noise
     # (relay hiccups only ADD time), so the min is the consistent
-    # estimator — measured run-to-run delta ~3%. The per-burst dispatch
-    # overhead biases the result slightly LOW (conservative).
-    reps = 26 if on_tpu else 10
+    # estimator — measured run-to-run delta ~3%. The remaining per-burst
+    # overhead (~10 ms scalar round-trip / 64 reps) biases the result
+    # slightly LOW (conservative).
+    reps = 64 if on_tpu else 10
     samples = []
     for _ in range(7):
         t0 = time.perf_counter()
@@ -157,7 +160,7 @@ def _bench_grid_cells(jax, jnp):
         t0 = _time.perf_counter()
         for _ in range(reps):
             costs = run(free)
-        np.asarray(costs)
+        float(costs[0, 0, 0])  # scalar completion fence, no bulk readback
         vals.append((_time.perf_counter() - t0) / reps)
     per = float(np.min(vals))  # one-sided noise -> min is consistent
     return b * w * h * sweeps / per
@@ -186,7 +189,7 @@ def _bench_resample(jax, jnp, on_tpu):
         t0 = _time.perf_counter()
         for _ in range(reps):
             out = run(wgt, u, s)
-        np.asarray(out[1])
+        float(out[1].ravel()[0])  # scalar completion fence
         vals.append((_time.perf_counter() - t0) / reps)
     per = float(np.min(vals))  # one-sided noise -> min is consistent
     return b * p / per
