@@ -114,3 +114,57 @@ def run_large_benchmark(size=10000, max_iterations=4, tolerance=1e-8,
     poses_np = np.asarray(poses)
     seconds = time.perf_counter() - t0
     return seconds, rmse(poses_np, truth), int(summary.iterations)
+
+
+def run_batched_benchmark(size=10000, batch=8, max_iterations=25,
+                          tolerance=1e-8):
+    """B independent `size`-pose graphs solved CONCURRENTLY by vmapping
+    the device-resident chain solver — the throughput framing of the
+    flagship workload. Returns (seconds, worst_rmse, graphs_per_s).
+    Timing excludes compilation (one warm-up call)."""
+    import functools
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from rust_robotics_tpu.nlls.tridiag import (
+        classify_chain_edges,
+        solve_chain_lm,
+    )
+    from rust_robotics_tpu.slam.pose_graph import (
+        se2_edge_residual,
+        se2_retract,
+    )
+
+    truth, initial, ef, et, meas, info = synthesize_chain(size)
+    c_meas, c_info, l_ef, l_et, l_meas, l_info = classify_chain_edges(
+        size, ef, et, meas, info)
+    f = jnp.result_type(float)
+    fixed = jnp.zeros((size,), bool).at[0].set(True)
+    # distinct problems: phase-shifted deterministic wobbles
+    wobbles = np.stack([
+        0.01 * np.sin(np.arange(size * 3) * 0.01 + k).reshape(size, 3)
+        * [1.0, 1.0, 0.1] for k in range(batch)])
+    init_b = jnp.asarray(initial, f)[None] + jnp.asarray(wobbles, f)
+    init_b = init_b.at[:, 0].set(jnp.asarray(truth[0], f))
+
+    solve1 = functools.partial(
+        solve_chain_lm, residual_fn=se2_edge_residual,
+        retract_fn=se2_retract, tdim=3, max_iterations=max_iterations,
+        gradient_tolerance=tolerance, step_tolerance=tolerance,
+        cost_tolerance=tolerance * tolerance)
+    args = (jnp.asarray(c_meas, f),
+            None if c_info is None else jnp.asarray(c_info, f),
+            jnp.asarray(l_ef, jnp.int32), jnp.asarray(l_et, jnp.int32),
+            jnp.asarray(l_meas, f),
+            None if l_info is None else jnp.asarray(l_info, f), fixed)
+    vm = jax.jit(jax.vmap(lambda v: solve1(v, *args)))
+    out, _ = vm(init_b)
+    np.asarray(out[0, 0])  # compile + settle
+    t0 = time.perf_counter()
+    out, _ = vm(init_b)
+    float(out.ravel()[0])
+    seconds = time.perf_counter() - t0
+    worst = max(rmse(np.asarray(out[k]), truth) for k in range(batch))
+    return seconds, worst, batch / seconds

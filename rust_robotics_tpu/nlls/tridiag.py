@@ -246,12 +246,15 @@ def solve_chain_lm(
                 jnp.einsum("erk,erk->ek", ji_l, lam_ji_l))
             diag_loop = diag_loop.at[loop_to].add(
                 jnp.einsum("erk,erk->ek", jj_l, lam_jj_l))
-            # U: [n, t, L, rdim] — J_i^T in column block e at row i
-            u4 = jnp.zeros((n, tdim, num_l, rdim), f_)
+            # U: [n, t, K] with J_i^T in flat column block e at row i —
+            # scattered directly into the flat column axis (an
+            # [n, t, L, rdim] intermediate tile-pads rdim->128 on TPU, a
+            # 40x memory blowup that OOMs at 50k poses)
             el = jnp.arange(num_l)
-            u4 = u4.at[loop_from, :, el].add(jnp.swapaxes(ji_l, -1, -2))
-            u4 = u4.at[loop_to, :, el].add(jnp.swapaxes(jj_l, -1, -2))
-            u = u4.reshape(n, tdim, k_w)
+            cols = el[:, None] * rdim + jnp.arange(rdim)[None, :]  # [L,r]
+            u = jnp.zeros((n, tdim, k_w), f_)
+            u = u.at[loop_from[:, None], :, cols].add(ji_l)
+            u = u.at[loop_to[:, None], :, cols].add(jj_l)
         else:
             diag_loop = jnp.zeros((n, tdim), f_)
             u = jnp.zeros((n, tdim, 0), f_)

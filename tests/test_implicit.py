@@ -5,6 +5,7 @@ differentiability surface; the reference solver has no gradient story)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rust_robotics_tpu.demos.pose_graph_bench import synthesize_chain
 from rust_robotics_tpu.nlls import SolverConfig, solve
@@ -21,6 +22,7 @@ def _solve_chain(meas, initial, ef, et, info):
     return solve(prob, cfg)
 
 
+@pytest.mark.slow
 def test_implicit_grad_matches_finite_difference():
     truth, initial, ef, et, meas, info = synthesize_chain(12)
     solved, _ = _solve_chain(meas, initial, ef, et, info)

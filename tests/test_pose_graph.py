@@ -124,3 +124,16 @@ def test_large_pose_graph_10k_beats_reference_wall_clock():
     assert err < 2.2e-3, err
     assert iters >= 3
     assert seconds < 8.62, (seconds, err)
+
+
+@pytest.mark.slow
+def test_large_pose_graph_10k_chain_direct_beats_reference():
+    """Round-3 flagship: the device-resident chain solver beats the
+    reference's 8.62 s / RMSE 2.2e-3 gate (README.md:728-730) even on
+    CPU f64 (warm; on the TPU it runs ~0.56 s — BENCH_r03 extras)."""
+    from rust_robotics_tpu.demos.pose_graph_bench import run_large_benchmark
+
+    seconds, err, iters = run_large_benchmark(10000, device_resident=True)
+    assert err < 2.2e-3, err
+    assert iters >= 5
+    assert seconds < 8.62, (seconds, err)

@@ -149,3 +149,42 @@ def test_chain_direct_parallel_edges_demoted_to_woodbury():
                                       linear_solver="chain_direct")
     np.testing.assert_allclose(np.asarray(chain), np.asarray(dense),
                                atol=1e-7)
+
+
+def test_chain_solver_vmaps_over_problems():
+    """B independent graphs solve concurrently under vmap with bitwise
+    agreement vs individual solves (the batched framing of the flagship
+    workload — VERDICT r02 #1)."""
+    import functools
+
+    import jax
+
+    from rust_robotics_tpu.nlls.tridiag import solve_chain_lm
+    from rust_robotics_tpu.slam.pose_graph import (
+        se2_edge_residual,
+        se2_retract,
+    )
+
+    truth, initial, ef, et, meas, info = synthesize_chain(120)
+    c_meas, c_info, l_ef, l_et, l_meas, l_info = classify_chain_edges(
+        120, ef, et, meas, info)
+    fixed = jnp.zeros((120,), bool).at[0].set(True)
+    wobble = 0.01 * np.sin(np.arange(360)).reshape(120, 3) * [1, 1, 0.1]
+    init_b = jnp.stack([jnp.asarray(initial),
+                        jnp.asarray(initial + wobble)])
+    init_b = init_b.at[:, 0].set(jnp.asarray(truth[0]))
+
+    solve1 = functools.partial(
+        solve_chain_lm, residual_fn=se2_edge_residual,
+        retract_fn=se2_retract, tdim=3, max_iterations=25,
+        gradient_tolerance=1e-8, step_tolerance=1e-8,
+        cost_tolerance=1e-16)
+    args = (jnp.asarray(c_meas), jnp.asarray(c_info),
+            jnp.asarray(l_ef, jnp.int32), jnp.asarray(l_et, jnp.int32),
+            jnp.asarray(l_meas), jnp.asarray(l_info), fixed)
+    out_b, _ = jax.vmap(lambda v: solve1(v, *args))(init_b)
+    for i in range(2):
+        out_i, _ = solve1(init_b[i], *args)
+        np.testing.assert_array_equal(np.asarray(out_b[i]),
+                                      np.asarray(out_i))
+        assert rmse(np.asarray(out_b[i]), truth) < 1e-5

@@ -103,6 +103,7 @@ def _project_all(intr, cams, points, cam_idx, pt_idx):
     return np.asarray(px)
 
 
+@pytest.mark.slow
 def test_grad_of_camera_error_wrt_pixels_through_ba():
     """IFT gradient through the bundle-adjustment solve: d(third-camera
     position error)/d(pixel measurements), FD-checked by re-solving."""
