@@ -73,3 +73,15 @@ def test_numeric_claims_match_registries():
     # reference truly has 26 headless examples; 3 + remaining = 26
     m = re.search(r"(\d+) headless_\* examples", text)
     assert m and int(m.group(1)) == 3 + len(HEADLESS)
+
+
+def test_benchmarks_doc_count_matches_registry():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from rust_robotics_tpu.demos.benchmarks import PINNED
+
+    path = os.path.join(ROOT, "docs", "BENCHMARKS.md")
+    text = open(path).read()
+    m = re.search(r"\((\d+) entries", text)
+    assert m and int(m.group(1)) == len(PINNED), (m, len(PINNED))
