@@ -33,7 +33,7 @@ def main():
     on_tpu = platform not in ("cpu",)
     b = 131072 if on_tpu else 4096
     t = 200
-    tile = 1024 if on_tpu else 512
+    tile = 2048 if on_tpu else 512  # round-3 sweep: 2048 is 30% > 1024
     dtype = jnp.float32
     q = (0.01, 0.01, 3e-4, 0.01)
     r = (1.0, 1.0)
