@@ -428,7 +428,10 @@ def render_gif_slam(path, steps: int = 80, frame_stride: int = 4):
         obs = jnp.stack([rng + 0.05 * jnp.sin(0.9 * k + jnp.arange(5)),
                          brg + 0.01 * jnp.cos(1.3 * k + jnp.arange(5))], -1)
         visible = rng < 6.0
-        belief = ekf_slam_step(belief, control, obs, visible, dt)
+        q_slam = jnp.diag(jnp.array([0.2, (5 * np.pi / 180) ** 2]))
+        r_slam = jnp.diag(jnp.array([0.05, 0.01]) ** 2 * 25)
+        belief = ekf_slam_step(belief, control, obs, visible, dt,
+                               q_slam, r_slam)
         t_trace.append(np.asarray(truth[:2], f))
         e_trace.append(np.asarray(belief.mean[:2], f))
         if k % frame_stride == 0:
@@ -472,23 +475,27 @@ def render_svg_controller_arena(path, steps: int = 300):
     pts = jnp.stack([xs, 2.0 * jnp.sin(xs / 8.0)], axis=-1)
     mask = jnp.ones(401)
 
-    def rollout(fn):
+    def rollout(fn, aux0=None):
         state = jnp.array([0.0, -1.0, 0.2, 0.0])
+        aux = aux0
         traj = [np.asarray(state[:2])]
         for _ in range(steps):
-            accel, steer, _ = fn(state)
+            accel, steer, aux = fn(state, aux)
             state = bicycle_kinematics(state, accel, steer, 0.1, 2.9)
             traj.append(np.asarray(state[:2]))
         return np.stack(traj)
 
+    def stateless(ctl):
+        return lambda s, a: (*ctl(s, pts, mask, 3.0)[:2], a)
+
     runs = {
-        "pure_pursuit": (rollout(
-            lambda s: pure_pursuit_control(s, pts, mask, 3.0)),
-            (255, 0, 0)),
-        "stanley": (rollout(
-            lambda s: stanley_control(s, pts, mask, 3.0)), (0, 160, 0)),
+        "pure_pursuit": (rollout(stateless(pure_pursuit_control)),
+                         (255, 0, 0)),
+        "stanley": (rollout(stateless(stanley_control)), (0, 160, 0)),
+        # LQR threads (e, θe) as controller state (lqr_steer_control.rs)
         "lqr_steer": (rollout(
-            lambda s: lqr_steer_control(s, pts, mask, 3.0)), (200, 120, 0)),
+            lambda s, a: lqr_steer_control(s, pts, mask, 3.0, a[0], a[1]),
+            aux0=(0.0, 0.0)), (200, 120, 0)),
     }
     cfg = CanvasConfig(width=640, height=240, x_range=(-2, 42),
                        y_range=(-5, 5))

@@ -73,8 +73,7 @@ def _cost_with_measurements(problem: Problem, values_tuple, meas_list):
     return cost
 
 
-def implicit_vjp(problem: Problem, loss_fn, config: SolverConfig
-                 | None = None, hessian: str = "exact"):
+def implicit_vjp(problem: Problem, loss_fn, hessian: str = "exact"):
     """Gradients of `loss_fn(values_tuple)` at the solution w.r.t. each
     factor block's measurements.
 
@@ -136,5 +135,5 @@ def solve_implicit(problem: Problem, loss_fn,
     """Solve, then return (solved_problem, loss, measurement_grads) — the
     one-call form of `solve` + `implicit_vjp`."""
     solved, summary = solve(problem, config)
-    loss, grads = implicit_vjp(solved, loss_fn, config)
+    loss, grads = implicit_vjp(solved, loss_fn)
     return solved, summary, loss, grads
