@@ -83,23 +83,26 @@ def solve_formation_consensus(positions, formation_offsets, weights=None,
     return center, center + jnp.asarray(formation_offsets), res
 
 
-def solve_horizon_consensus(goal_trajs, anchor, smooth_weight=0.0,
-                            anchor_weight=1e4,
+def solve_horizon_consensus(goal_trajs, anchor=None, smooth_weight=0.0,
                             cfg: ADMMConfig = ADMMConfig()):
     """Receding-horizon trajectory consensus
-    (admm_consensus.rs `solve_horizon_consensus`,
+    (admm_consensus.rs `solve_horizon_consensus`:491-693,
     benchmark_admm_horizon_consensus.rs): agents with noisy per-agent goal
     trajectories agree on ONE shared center trajectory over the horizon.
 
     min over z [H, d]:  Σ_i ½‖x_i − g_i‖²  +  (λ/2)‖Δ²z‖²
-    s.t. x_i = z, z_0 ≈ anchor (weight `anchor_weight` — the receding-
-    horizon loop re-anchors each cycle at the executed center).
+    s.t. x_i = z, z_0 = anchor (HARD, when anchor is given — the
+    receding-horizon loop re-anchors each cycle at the executed center).
 
-    The x-update is a per-agent quadratic over the horizon — a batched
-    [H, H] solve per axis (H ≈ 10, trivial); the z-update is the agent
-    mean (the psum); scaled duals close the loop.
+    Mirrors the reference splitting exactly: the x-update is the plain
+    per-agent proximal step x_i = (g_i + ρ(z − u_i)) / (1 + ρ); the
+    z-update applies the smoothness ONCE by solving
+    (ρ·A·I + λ DᵀD) z = ρ Σ_i (x_i + u_i) per axis with the anchored z_0
+    eliminated into the RHS (the reference's reduced Cholesky system).
+    The Σ_i in the z-update is the psum when agents are mesh-sharded.
 
-    goal_trajs [A, H, d]; anchor [d]. Returns (z [H, d], ADMMResult).
+    goal_trajs [A, H, d]; anchor [d] or None. Returns (z [H, d],
+    ADMMResult).
     """
     g = jnp.asarray(goal_trajs)
     n_agents, horizon, d = g.shape
@@ -107,7 +110,7 @@ def solve_horizon_consensus(goal_trajs, anchor, smooth_weight=0.0,
     rho = cfg.rho
     lam = smooth_weight
 
-    # second-difference operator over the horizon (rms-accel penalty)
+    # z-system A = ρ·N·I + λ DᵀD with D the second-difference operator
     if horizon >= 3:
         dd = (jnp.eye(horizon, dtype=f)[:-2]
               - 2.0 * jnp.eye(horizon, k=1, dtype=f)[:-2]
@@ -115,26 +118,42 @@ def solve_horizon_consensus(goal_trajs, anchor, smooth_weight=0.0,
         smooth = lam * dd.T @ dd
     else:
         smooth = jnp.zeros((horizon, horizon), f)
-    w_anchor = jnp.zeros((horizon,), f).at[0].set(anchor_weight)
-    # local systems: (I + diag(w_anchor) + λ DᵀD + ρ I) x = rhs
-    m = (jnp.eye(horizon, dtype=f) * (1.0 + rho) + jnp.diag(w_anchor)
-         + smooth)
-    m_inv = jnp.linalg.inv(m)
-    anchor_term = w_anchor[:, None] * jnp.asarray(anchor)[None, :]
+    a_mat = jnp.eye(horizon, dtype=f) * (rho * n_agents) + smooth
+    anchored = anchor is not None and horizon > 1
+    if anchored:
+        anchor = jnp.asarray(anchor, f)
+        # reduced system over the free steps 1..H; the anchored z_0 column
+        # moves to the RHS (admm_consensus.rs:568-581)
+        a_red_inv = jnp.linalg.inv(a_mat[1:, 1:])
+        a_col0 = a_mat[1:, 0]  # [H-1]
+
+        def z_update(x, u):
+            b = rho * jnp.sum(x + u, axis=0)  # [H, d]
+            b_red = b[1:] - a_col0[:, None] * anchor[None, :]
+            z_free = a_red_inv @ b_red
+            return jnp.concatenate([anchor[None, :], z_free], axis=0)
+    else:
+        a_inv = jnp.linalg.inv(a_mat)
+
+        def z_update(x, u):
+            return a_inv @ (rho * jnp.sum(x + u, axis=0))
 
     def body(carry, _):
         x, z, u = carry
-        rhs = g + anchor_term[None] + rho * (z[None] - u)  # [A, H, d]
-        x = jnp.einsum("ht,atd->ahd", m_inv, rhs)
-        z_new = jnp.mean(x + u, axis=0)
+        # x-update: plain proximal step (unit agent weight, no box)
+        x = (g + rho * (z[None] - u)) / (1.0 + rho)
+        z_new = z_update(x, u)
         u = u + x - z_new
         return (x, z_new, u), (
             jnp.linalg.norm(x - z_new[None]),
-            rho * jnp.linalg.norm(z_new - z),
+            rho * jnp.sqrt(jnp.asarray(n_agents, f))
+            * jnp.linalg.norm(z_new - z),
         )
 
-    x0 = g
     z0 = jnp.mean(g, axis=0)
+    if anchored:
+        z0 = z0.at[0].set(anchor)
+    x0 = jnp.broadcast_to(z0[None], g.shape)
     u0 = jnp.zeros_like(g)
     (x, z, u), (pr, dr) = jax.lax.scan(
         body, (x0, z0, u0), None, length=cfg.iterations

@@ -154,6 +154,9 @@ def _optimize_chain_direct(poses, edges_from, edges_to, measurements,
         step_tolerance=tolerance,
         cost_tolerance=tolerance * tolerance,
     )
+    # chain_direct performs exactly ONE direct linear solve per LM
+    # iteration (no Krylov loop), so linear_iterations == iterations here
+    # by construction — unlike the PCG paths, where it counts Krylov steps
     summary = SolverSummary(
         float(summ.initial_cost), float(summ.final_cost),
         int(summ.iterations), int(summ.accepted_steps),
@@ -242,6 +245,7 @@ def optimize_pose_graph_3d(pose_tangents, edges_from, edges_to,
             step_tolerance=tolerance,
             cost_tolerance=tolerance * tolerance,
         )
+        # one direct linear solve per LM iteration (see the SE(2) note)
         summary = SolverSummary(
             float(summ.initial_cost), float(summ.final_cost),
             int(summ.iterations), int(summ.accepted_steps),

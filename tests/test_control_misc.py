@@ -154,3 +154,76 @@ def test_waypoint_mission_with_stuck_recovery():
     assert "recover" in states  # stuck phase triggered recovery
     assert sm.state == "done"
     assert bb.get("recovery_count", 0) >= 1
+
+
+def _horizon_consensus_reference(goal_trajs, anchor, smooth_weight, rho,
+                                 iters):
+    """Independent f64 numpy transcription of the reference's ADMM loop
+    (admm_consensus.rs:544-684, unit weights, no box constraints, zero
+    offsets) used to pin the JAX implementation's splitting semantics."""
+    g = np.asarray(goal_trajs, np.float64)
+    n, horizon, d = g.shape
+    a_mat = np.eye(horizon) * (rho * n)
+    for t in range(1, horizon - 1):
+        idx = [t - 1, t, t + 1]
+        coeff = [1.0, -2.0, 1.0]
+        for ai, ia in enumerate(idx):
+            for bi, ib in enumerate(idx):
+                a_mat[ia, ib] += smooth_weight * coeff[ai] * coeff[bi]
+    free = list(range(1, horizon)) if anchor is not None else \
+        list(range(horizon))
+    a_red = a_mat[np.ix_(free, free)]
+    z = g.mean(axis=0)
+    if anchor is not None:
+        z[0] = anchor
+    x = np.broadcast_to(z[None], g.shape).copy()
+    u = np.zeros_like(g)
+    for _ in range(iters):
+        x = (g + rho * (z[None] - u)) / (1.0 + rho)
+        b = rho * (x + u).sum(axis=0)  # [H, d]
+        b_red = b[free]
+        if anchor is not None:
+            b_red = b_red - np.outer(a_mat[free, 0], z[0])
+        z_free = np.linalg.solve(a_red, b_red)
+        z = z.copy()
+        z[free] = z_free
+        u = u + x - z[None]
+    return z
+
+
+def test_horizon_consensus_matches_reference_semantics():
+    """Smoothness and anchor live in the z-update ONCE (not scaled by the
+    number of agents) — parity vs an independent transcription of
+    admm_consensus.rs's solve_horizon_consensus (ADVICE r3 medium)."""
+    from rust_robotics_tpu.control.admm import solve_horizon_consensus
+
+    rng = np.random.default_rng(3)
+    goals = rng.normal(0.0, 1.0, (5, 8, 2)).astype(np.float32) + \
+        np.linspace(0, 3, 8)[None, :, None].astype(np.float32)
+    anchor = np.array([0.1, -0.2], np.float32)
+    for smooth in (0.0, 25.0):
+        z, res = solve_horizon_consensus(
+            jnp.asarray(goals), jnp.asarray(anchor), smooth_weight=smooth,
+            cfg=ADMMConfig(rho=1.0, iterations=80))
+        want = _horizon_consensus_reference(goals, anchor, smooth, 1.0, 80)
+        np.testing.assert_allclose(np.asarray(z), want, rtol=2e-4, atol=2e-4)
+        # hard anchor: z[0] equals the anchor exactly
+        np.testing.assert_allclose(np.asarray(z[0]), anchor, atol=1e-6)
+
+
+def test_horizon_consensus_duplication_scaling():
+    """Duplicating every agent k-fold while scaling λ by k leaves the
+    converged center unchanged (the whole objective scales by k) — this
+    fails under the r3 bug, which folded λ into each agent's x-update and
+    thereby scaled the EFFECTIVE smoothness by the agent count."""
+    from rust_robotics_tpu.control.admm import solve_horizon_consensus
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0.0, 0.5, (3, 10, 2)).astype(np.float32)
+    dup = np.concatenate([base, base, base], axis=0)  # 3x each agent
+    cfg = ADMMConfig(rho=1.0, iterations=400)
+    z1, _ = solve_horizon_consensus(jnp.asarray(base), None,
+                                    smooth_weight=30.0, cfg=cfg)
+    z3, _ = solve_horizon_consensus(jnp.asarray(dup), None,
+                                    smooth_weight=90.0, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z3), atol=5e-4)

@@ -112,28 +112,41 @@ def test_pose_graph_matfree_pcg_matches_dense():
     assert summ.linear_iterations > 0
 
 
+def _assert_wall_clock(seconds, err):
+    """Wall-clock comparisons vs the reference's 8.62 s are machine-
+    dependent; they are gated in bench.py (where the capture is recorded)
+    and only asserted here when RRT_ASSERT_WALL_CLOCK=1 is set
+    (ADVICE r3: keep unit tests timing-flake-free)."""
+    import os
+
+    if os.environ.get("RRT_ASSERT_WALL_CLOCK") == "1":
+        assert seconds < 8.62, (seconds, err)
+
+
 @pytest.mark.slow
 def test_large_pose_graph_10k_beats_reference_wall_clock():
     """README.md:728-730: the reference solves the 10k-pose chain in
     8.62 s single-core at RMSE ≤ 2.2e-3. The matfree-PCG path must land
-    under the RMSE gate in under that wall-clock on this host (typ. ~3.5 s
-    CPU f64 including trace+compile)."""
+    under the RMSE gate (wall-clock asserted only under
+    RRT_ASSERT_WALL_CLOCK=1; bench.py records it; typ. ~3.5 s CPU f64
+    including trace+compile)."""
     from rust_robotics_tpu.demos.pose_graph_bench import run_large_benchmark
 
     seconds, err, iters = run_large_benchmark(10000)
     assert err < 2.2e-3, err
     assert iters >= 3
-    assert seconds < 8.62, (seconds, err)
+    _assert_wall_clock(seconds, err)
 
 
 @pytest.mark.slow
 def test_large_pose_graph_10k_chain_direct_beats_reference():
     """Round-3 flagship: the device-resident chain solver beats the
     reference's 8.62 s / RMSE 2.2e-3 gate (README.md:728-730) even on
-    CPU f64 (warm; on the TPU it runs ~0.56 s — BENCH_r03 extras)."""
+    CPU f64 (warm; on the TPU it runs ~0.5 s — BENCH_r03 extras).
+    Wall-clock asserted only under RRT_ASSERT_WALL_CLOCK=1."""
     from rust_robotics_tpu.demos.pose_graph_bench import run_large_benchmark
 
     seconds, err, iters = run_large_benchmark(10000, device_resident=True)
     assert err < 2.2e-3, err
     assert iters >= 5
-    assert seconds < 8.62, (seconds, err)
+    _assert_wall_clock(seconds, err)
