@@ -168,3 +168,82 @@ def run_batched_benchmark(size=10000, batch=8, max_iterations=25,
     seconds = time.perf_counter() - t0
     worst = max(rmse(np.asarray(out[k]), truth) for k in range(batch))
     return seconds, worst, batch / seconds
+
+
+def synthesize_grid(width: int, height: int, diag_closures: int = 0):
+    """A NON-chain 10k-class pose graph: poses on a W×H grid (row-major),
+    4-neighbor relative-pose edges (the reference-style exact
+    measurements + deterministic initial perturbation of
+    benchmark_large_pose_graph.rs:19-56, on a topology its chain
+    structure cannot express), plus `diag_closures` long-range closures.
+
+    Returns (truth [N,3], initial [N,3], ef, et, meas [E,3], info
+    [E,3,3]). The grid's RCM bandwidth is ~min(W,H): the banded supernodal
+    solver (nlls/banded.py) handles it as fat-block tridiagonal; the
+    chain solver CANNOT (no (i,i+1) odometry chain exists)."""
+    n = width * height
+    ii = np.arange(n, dtype=np.float64)
+    gx = (ii % width) * 0.5
+    gy = (ii // width) * 0.5
+    truth = np.stack(
+        [gx + 0.2 * np.sin(0.07 * gy),
+         gy + 0.2 * np.cos(0.05 * gx),
+         0.3 * np.sin(0.011 * ii)], axis=-1)
+    initial = truth + np.stack(
+        [0.02 * np.sin(ii * 0.013),
+         0.03 * np.cos(ii * 0.021),
+         0.005 * np.sin(ii * 0.017)], axis=-1)
+    initial[0] = truth[0]
+
+    ef, et, meas, info = [], [], [], []
+
+    def add_edge(a, b, w):
+        ef.append(a)
+        et.append(b)
+        meas.append(relative(truth[a], truth[b]))
+        info.append(np.eye(3) * w)
+
+    for r in range(height):
+        for c_ in range(width):
+            i = r * width + c_
+            if c_ + 1 < width:
+                add_edge(i, i + 1, 100.0)
+            if r + 1 < height:
+                add_edge(i, i + width, 100.0)
+    # long-range loop closures across the grid (out-of-band edges)
+    for k in range(diag_closures):
+        a = (k * 37) % (n // 2)
+        b = n - 1 - ((k * 61) % (n // 2))
+        if a != b:
+            add_edge(a, b, 20.0)
+    return (truth, initial, np.array(ef, np.int32), np.array(et, np.int32),
+            np.stack(meas), np.stack(info))
+
+
+def run_grid_benchmark(width=100, height=100, diag_closures=50,
+                       max_iterations=25, tolerance=1e-8):
+    """10k-pose NON-chain benchmark: the reference's block-sparse PCG
+    solves its (chain) 10k benchmark in 8.62 s single-core
+    (README.md:730); the banded supernodal direct solve must land under
+    the same RMSE gate on a topology with no odometry chain at all.
+    Returns (seconds, rmse, lm_iterations) — timing excludes compile
+    (one warm-up call on the same shapes)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from rust_robotics_tpu.slam.pose_graph import optimize_pose_graph_2d
+
+    truth, initial, ef, et, meas, info = synthesize_grid(
+        width, height, diag_closures)
+    f = jnp.result_type(float)
+    args = (jnp.asarray(initial, f), ef, et, jnp.asarray(meas, f),
+            jnp.asarray(info, f))
+    kwargs = dict(max_iterations=max_iterations, tolerance=tolerance,
+                  linear_solver="banded_direct")
+    optimize_pose_graph_2d(*args, **kwargs)  # compile + settle
+    t0 = time.perf_counter()
+    poses, summary = optimize_pose_graph_2d(*args, **kwargs)
+    poses_np = np.asarray(poses)
+    seconds = time.perf_counter() - t0
+    return seconds, rmse(poses_np, truth), int(summary.iterations)

@@ -1,0 +1,485 @@
+"""General-graph NLLS on the TPU: RCM-banded supernodal direct solve.
+
+Closes the round-3 gap "the TPU win is chain-shaped only": the reference
+serves EVERY graph topology at its published speeds through one
+block-sparse PCG (rust_robotics_optimization/src/sparse.rs:115; the large
+benchmark README.md:728-730), while the round-3 repo could only beat it
+when `classify_chain_edges` found an odometry chain — a 10k-pose grid
+graph fell back to a ~26 s latency-bound matfree PCG.
+
+TPU-native design — turn SPARSITY into BATCHED DENSITY:
+
+1. Reorder the nodes with reverse Cuthill-McKee (host-side, trace time)
+   so the graph's adjacency is BANDED: every edge spans at most
+   `bandwidth` positions. For a W-by-H grid pose graph the band is ~W.
+2. Group `s >= bandwidth` consecutive positions into a SUPERNODE. Every
+   in-band edge now couples the same or adjacent supernodes, so the
+   Gauss-Newton Hessian is **block-tridiagonal with fat (s*tdim)^2
+   blocks** — exactly the structure the cyclic-reduction ladder of
+   `nlls/tridiag.py` solves with log2(Ns) levels of batched dense
+   inverses and matmuls. Fat blocks are MXU-shaped: the 10k grid's
+   300x300 blocks run as [64, 300, 300] batched matmuls instead of a
+   3000-step Krylov recurrence.
+3. Edges that still span more than one supernode (long loop closures,
+   or any graph whose RCM band exceeds `max_supernode`) are demoted to
+   the streamed Woodbury low-rank correction — the same
+   never-materialize-U machinery as the chain solver.
+4. The LM outer loop (solver.rs:81-188 accept/reject, x0.3/x10 damping,
+   sparse.rs:34-42 scaled diagonal damping) runs on-device in one
+   `lax.while_loop`, one host transfer at the end.
+
+Reference parity surface: optimize_pose_graph semantics
+(slam/src/pose_graph_optimization.rs:73-140) on arbitrary topologies;
+benchmark gate: the reference's 10k-pose wall-clock/RMSE row
+(README.md:730) must fall on a NON-chain graph too.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rust_robotics_tpu.nlls.tridiag import (
+    ChainSummary,
+    block_tridiag_apply,
+    block_tridiag_factor,
+    inv_spd,
+)
+
+# Per-chunk memory budget for the streamed out-of-band Woodbury solve
+# (see tridiag.WOODBURY_CHUNK_BYTES; kept separate so tests can force the
+# multi-chunk path here independently).
+WOODBURY_CHUNK_BYTES = 3 * 512 * 1024 * 1024
+
+
+class BandedPlan(NamedTuple):
+    """Host-side (trace-time) structure plan for a general graph."""
+
+    order: np.ndarray      # [n] old node index at each banded position
+    perm: np.ndarray       # [n] banded position of each old node
+    supernode: int         # nodes per supernode (s)
+    num_super: int         # Ns = ceil(n_pad / s)
+    bandwidth: int         # RCM half-bandwidth of the edge set
+    in_band: np.ndarray    # [E] bool — edge handled by the tridiagonal part
+
+
+def plan_banded(n, edges_from, edges_to, max_supernode=256):
+    """Reverse-Cuthill-McKee ordering + supernode sizing (host, numpy).
+
+    Every edge whose endpoints land in the same or adjacent supernodes is
+    in-band; the rest go to the Woodbury correction. `max_supernode` caps
+    the fat-block dimension (s*tdim) — graphs with a larger RCM band than
+    that simply send more edges to the low-rank side."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    ef = np.asarray(edges_from, np.int64)
+    et = np.asarray(edges_to, np.int64)
+    if len(ef) == 0:
+        order = np.arange(n)
+        return BandedPlan(order, order.copy(), 1, n, 0,
+                          np.zeros((0,), bool))
+    adj = sp.coo_matrix(
+        (np.ones(len(ef)), (ef, et)), shape=(n, n)).tocsr()
+    adj = (adj + adj.T).tocsr()
+    # Candidate orderings: RCM is a heuristic and can LOSE to the natural
+    # order on structured graphs (measured: 100x100 grid row-major band
+    # 100 vs scipy-RCM 369 — 1.9k edges would demote to Woodbury).
+    # The supernode size comes from a high QUANTILE of edge spans, not
+    # the max: a handful of long closures belong on the Woodbury side,
+    # they must not inflate the fat-block dimension.
+    candidates = [
+        np.arange(n, dtype=np.int64),
+        np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True),
+                   np.int64),
+    ]
+    num_e = len(ef)
+    allowed_out = min(num_e - 1, max(64, num_e // 50))
+    best = None
+    for order_c in candidates:
+        perm_c = np.empty(n, np.int64)
+        perm_c[order_c] = np.arange(n)
+        spans = np.sort(np.abs(perm_c[ef] - perm_c[et]))
+        band_c = int(spans[-(allowed_out + 1)]) if allowed_out else \
+            int(spans[-1])
+        s_c = int(min(max(band_c, 1), max_supernode))
+        out_c = int(np.sum(
+            np.abs(perm_c[ef] // s_c - perm_c[et] // s_c) > 1))
+        # fewer Woodbury edges first, then smaller fat blocks
+        key = (out_c, s_c)
+        if best is None or key < best[0]:
+            best = (key, order_c, perm_c, s_c, int(spans[-1]))
+    _, order, perm, s, band = best
+    ns = -(-n // s)
+    sn_f = perm[ef] // s
+    sn_t = perm[et] // s
+    in_band = np.abs(sn_f - sn_t) <= 1
+    return BandedPlan(order, perm, s, ns, band, in_band)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("residual_fn", "retract_fn", "tdim", "supernode",
+                     "num_super", "max_iterations", "gradient_tolerance",
+                     "step_tolerance", "cost_tolerance", "initial_damping"),
+)
+def solve_banded_lm(
+    values_b,
+    band_from,
+    band_to,
+    band_meas,
+    band_info,
+    loop_from,
+    loop_to,
+    loop_meas,
+    loop_info,
+    fixed_mask,
+    *,
+    residual_fn: Callable,
+    retract_fn: Callable,
+    tdim: int,
+    supernode: int,
+    num_super: int,
+    max_iterations: int = 50,
+    gradient_tolerance: float = 1e-10,
+    step_tolerance: float = 1e-10,
+    cost_tolerance: float = 1e-12,
+    initial_damping: float = 1e-3,
+):
+    """Device-resident LM over a BANDED general factor graph.
+
+    All node arrays are in BANDED (RCM-permuted) order:
+    values_b [n, dim]; band_* index in-band edges (same/adjacent
+    supernodes); loop_* are the out-of-band (Woodbury) edges; fixed_mask
+    [n] bool. residual_fn(xi, xj, meas) -> [rdim];
+    retract_fn(x, delta[tdim]) -> x'.
+
+    Returns (values_b [n, dim], ChainSummary). LM semantics mirror
+    solver.rs:81-188 exactly (same as solve_chain_lm)."""
+    n, _ = values_b.shape
+    s = supernode
+    ns = num_super
+    big = s * tdim
+    n_pad = ns * s
+    num_l = loop_from.shape[0]
+    rdim = band_meas.shape[-1]
+    f_ = values_b.dtype
+    k_w = num_l * rdim
+    fixed = fixed_mask
+
+    t_ar = jnp.arange(tdim)
+
+    def edge_terms(xi, xj, meas):
+        z = jnp.zeros((tdim,), f_)
+
+        def r_of(di, dj):
+            return residual_fn(retract_fn(xi, di), retract_fn(xj, dj), meas)
+
+        r0 = r_of(z, z)
+        ji, jj = jax.jacfwd(r_of, argnums=(0, 1))(z, z)
+        return r0, ji, jj
+
+    def apply_info(info, v):
+        return v if info is None else jnp.einsum("eij,e...j->e...i", info, v)
+
+    # static per-edge placement (all numpy-free: index arrays are traced
+    # constants derived from the static edge tensors)
+    sn_f = band_from // s
+    sn_t = band_to // s
+    l_f = band_from % s
+    l_t = band_to % s
+    same = sn_f == sn_t
+    f_lo = sn_f <= sn_t  # canonical direction for cross-supernode edges
+
+    def scatter_h(target_diag, target_upper, blocks):
+        """Scatter per-edge [t, t] blocks (hii, hjj, hij, hji) into the
+        fat diag [Ns, big, big] / upper [Ns-1, big, big] arrays."""
+        hii, hjj, hij, hji = blocks
+        rows_i = (l_f[:, None] * tdim + t_ar)[:, :, None]  # [E, t, 1]
+        rows_j = (l_t[:, None] * tdim + t_ar)[:, :, None]
+        cols_i = (l_f[:, None] * tdim + t_ar)[:, None, :]
+        cols_j = (l_t[:, None] * tdim + t_ar)[:, None, :]
+        sn_f3 = sn_f[:, None, None]
+        sn_t3 = sn_t[:, None, None]
+        d = target_diag
+        d = d.at[sn_f3, rows_i, cols_i].add(hii)
+        d = d.at[sn_t3, rows_j, cols_j].add(hjj)
+        # same-supernode cross terms live inside the diagonal block
+        m_same = same[:, None, None]
+        d = d.at[sn_f3, rows_i, cols_j].add(jnp.where(m_same, hij, 0.0))
+        d = d.at[sn_t3, rows_j, cols_i].add(jnp.where(m_same, hji, 0.0))
+        # adjacent-supernode cross terms: C_k = H[k, k+1] (upper side);
+        # canonicalize edge direction so rows belong to the lower
+        # supernode
+        m_cross = (~same)[:, None, None]
+        k_sn = jnp.minimum(sn_f, sn_t)[:, None, None]
+        rows_c = jnp.where(f_lo[:, None, None], rows_i, rows_j)
+        cols_c = jnp.where(f_lo[:, None, None], cols_j, cols_i)
+        blk_c = jnp.where(f_lo[:, None, None], hij, hji)
+        u = target_upper.at[k_sn, rows_c, cols_c].add(
+            jnp.where(m_cross, blk_c, 0.0))
+        return d, u
+
+    # fixed scalars of the padded fat layout (pad nodes act as fixed)
+    fixed_pad = jnp.concatenate(
+        [fixed, jnp.ones((n_pad - n,), bool)], 0)
+    fixed_fat = jnp.repeat(fixed_pad, tdim).reshape(ns, big)
+
+    def linearize(values):
+        r_b, ji_b, jj_b = jax.vmap(edge_terms)(
+            values[band_from], values[band_to], band_meas)
+        ji_b = jnp.where(fixed[band_from, None, None], 0.0, ji_b)
+        jj_b = jnp.where(fixed[band_to, None, None], 0.0, jj_b)
+        lam_r = apply_info(band_info, r_b)
+        cost = 0.5 * jnp.sum(r_b * lam_r)
+        lam_ji = apply_info(band_info, ji_b)
+        lam_jj = apply_info(band_info, jj_b)
+
+        grad = jnp.zeros((n_pad, tdim), f_)
+        grad = grad.at[band_from].add(
+            jnp.einsum("eri,er->ei", ji_b, lam_r))
+        grad = grad.at[band_to].add(
+            jnp.einsum("eri,er->ei", jj_b, lam_r))
+
+        hii = jnp.einsum("eri,erj->eij", ji_b, lam_ji)
+        hjj = jnp.einsum("eri,erj->eij", jj_b, lam_jj)
+        hij = jnp.einsum("eri,erj->eij", ji_b, lam_jj)
+        hji = jnp.swapaxes(hij, -1, -2)
+        d0 = jnp.zeros((ns, big, big), f_)
+        u0 = jnp.zeros((max(ns - 1, 1), big, big), f_)
+        d, u = scatter_h(d0, u0, (hii, hjj, hij, hji))
+
+        if num_l:
+            r_l, ji_l, jj_l = jax.vmap(edge_terms)(
+                values[loop_from], values[loop_to], loop_meas)
+            ji_l = jnp.where(fixed[loop_from, None, None], 0.0, ji_l)
+            jj_l = jnp.where(fixed[loop_to, None, None], 0.0, jj_l)
+            lam_r_l = apply_info(loop_info, r_l)
+            cost = cost + 0.5 * jnp.sum(r_l * lam_r_l)
+            grad = grad.at[loop_from].add(
+                jnp.einsum("eri,er->ei", ji_l, lam_r_l))
+            grad = grad.at[loop_to].add(
+                jnp.einsum("eri,er->ei", jj_l, lam_r_l))
+            lam_ji_l = apply_info(loop_info, ji_l)
+            lam_jj_l = apply_info(loop_info, jj_l)
+            diag_loop = jnp.zeros((n_pad, tdim), f_)
+            diag_loop = diag_loop.at[loop_from].add(
+                jnp.einsum("erk,erk->ek", ji_l, lam_ji_l))
+            diag_loop = diag_loop.at[loop_to].add(
+                jnp.einsum("erk,erk->ek", jj_l, lam_jj_l))
+            jac_loop = (ji_l, jj_l)
+        else:
+            diag_loop = jnp.zeros((n_pad, tdim), f_)
+            jac_loop = None
+
+        grad = grad.at[n:].set(0.0)
+        grad = jnp.where(fixed_pad[:, None], 0.0, grad)
+        return grad, d, u, jac_loop, diag_loop, cost
+
+    def cost_only(values):
+        r_b = jax.vmap(residual_fn)(
+            values[band_from], values[band_to], band_meas)
+        cost = 0.5 * jnp.sum(r_b * apply_info(band_info, r_b))
+        if num_l:
+            r_l = jax.vmap(residual_fn)(
+                values[loop_from], values[loop_to], loop_meas)
+            cost = cost + 0.5 * jnp.sum(r_l * apply_info(loop_info, r_l))
+        return cost
+
+    if num_l:
+        w_inv_blocks = (jnp.broadcast_to(jnp.eye(rdim, dtype=f_),
+                                         (num_l, rdim, rdim))
+                        if loop_info is None else inv_spd(loop_info))
+        w_inv = jnp.zeros((k_w, k_w), f_)
+        el3 = jnp.arange(num_l)[:, None, None]
+        ri = jnp.arange(rdim)
+        w_inv = w_inv.at[el3 * rdim + ri[None, :, None],
+                         el3 * rdim + ri[None, None, :]].set(w_inv_blocks)
+        sn_lf = loop_from // s
+        l_lf = loop_from % s
+        sn_lt = loop_to // s
+        l_lt = loop_to % s
+
+    # Woodbury edge-chunk sizing (static; see tridiag.apply_columns_chunked)
+    m_pow2 = 1 if ns == 1 else 1 << (ns - 1).bit_length()
+    _bytes_per_edge = 3 * (2 * m_pow2) * big * 4 * rdim
+    cs_edges = max(1, min(max(num_l, 1),
+                          WOODBURY_CHUNK_BYTES // max(_bytes_per_edge, 1)))
+    nc_edges = -(-num_l // cs_edges) if num_l else 0
+
+    def lin_solve(grad, d, u, jac_loop, diag_loop, damping):
+        # scaled LM damping on the FULL diagonal (sparse.rs:34-42)
+        diag_fat = jnp.diagonal(d, axis1=-2, axis2=-1)  # [Ns, big]
+        diag_l_fat = diag_loop.reshape(ns, big)
+        lam = damping * jnp.maximum(jnp.abs(diag_fat + diag_l_fat), 1.0)
+        lam = jnp.where(fixed_fat, 1.0, lam)  # fixed scalars -> identity
+        dd = d + jax.vmap(jnp.diag)(lam)
+        fac = block_tridiag_factor(dd, u[:ns - 1] if ns > 1 else
+                                   jnp.zeros((0, big, big), f_))
+        grad_fat = grad.reshape(ns, big)
+        y0 = block_tridiag_apply(fac, -grad_fat[..., None])[..., 0]
+        if num_l == 0:
+            return y0.reshape(n_pad, tdim)[:n]
+        ji_l, jj_l = jac_loop
+
+        rows_lf = (l_lf[:, None] * tdim + t_ar)  # [L, t]
+        rows_lt = (l_lt[:, None] * tdim + t_ar)
+
+        def ut_apply(z):
+            """Uᵀ z for z [Ns, big, C] -> [K, C] via row gathers."""
+            zi = z[sn_lf[:, None], rows_lf, :]  # [L, t, C]
+            zj = z[sn_lt[:, None], rows_lt, :]
+            out = (jnp.einsum("eat,etc->eac", ji_l, zi)
+                   + jnp.einsum("eat,etc->eac", jj_l, zj))
+            return out.reshape(k_w, -1)
+
+        def s_cols_of_chunk(chunk):
+            ji_c, jj_c, snf_c, rowf_c, snt_c, rowt_c = chunk
+            cols = (jnp.arange(cs_edges)[:, None] * rdim
+                    + jnp.arange(rdim)[None, :])  # [cs, r]
+            rhs = jnp.zeros((ns, big, cs_edges * rdim), f_)
+            rhs = rhs.at[snf_c[:, None, None], rowf_c[:, :, None],
+                         cols[:, None, :]].add(
+                jnp.swapaxes(ji_c, -1, -2))
+            rhs = rhs.at[snt_c[:, None, None], rowt_c[:, :, None],
+                         cols[:, None, :]].add(
+                jnp.swapaxes(jj_c, -1, -2))
+            return ut_apply(block_tridiag_apply(fac, rhs))
+
+        pad_e = nc_edges * cs_edges - num_l
+
+        def pad0(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((pad_e,) + x.shape[1:], x.dtype)], 0) \
+                if pad_e else x
+
+        chunks = tuple(
+            pad0(x).reshape((nc_edges, cs_edges) + x.shape[1:])
+            for x in (ji_l, jj_l, sn_lf, rows_lf, sn_lt, rows_lt))
+        if nc_edges == 1:
+            uty = s_cols_of_chunk(tuple(x[0] for x in chunks))
+        else:
+            s_parts = jax.lax.map(s_cols_of_chunk, chunks)
+            uty = jnp.moveaxis(s_parts, 0, 1).reshape(
+                k_w, nc_edges * cs_edges * rdim)[:, :k_w]
+        s_cap = w_inv + uty
+        rhs_c = ut_apply(y0[..., None])[:, 0]
+        coef = jnp.linalg.solve(s_cap, rhs_c)
+        cb = coef.reshape(num_l, rdim)
+        u_coef = jnp.zeros((ns, big), f_)
+        u_coef = u_coef.at[sn_lf[:, None], rows_lf].add(
+            jnp.einsum("eat,ea->et", ji_l, cb))
+        u_coef = u_coef.at[sn_lt[:, None], rows_lt].add(
+            jnp.einsum("eat,ea->et", jj_l, cb))
+        delta = y0 - block_tridiag_apply(fac, u_coef[..., None])[..., 0]
+        return delta.reshape(n_pad, tdim)[:n]
+
+    def apply_step(values, delta):
+        delta = jnp.where(fixed[:, None], 0.0, delta)
+        return jax.vmap(retract_fn)(values, delta)
+
+    def body(carry):
+        values, damping, cost, it, accepted, term, done = carry
+        grad, d, u, jac_loop, diag_loop, _ = linearize(values)
+        gmax = jnp.max(jnp.abs(grad))
+        grad_conv = gmax <= gradient_tolerance
+
+        delta = lin_solve(grad, d, u, jac_loop, diag_loop, damping)
+        bad = ~jnp.all(jnp.isfinite(delta))
+        step_norm = jnp.linalg.norm(delta)
+        step_conv = step_norm <= step_tolerance
+
+        trial = apply_step(values, delta)
+        trial_cost = cost_only(trial)
+        accept = (~grad_conv) & (~step_conv) & (~bad) & (trial_cost < cost)
+        change = jnp.abs(cost - trial_cost)
+        cost_conv = accept & (change <= cost_tolerance)
+
+        new_values = jax.tree_util.tree_map(
+            lambda t_, v_: jnp.where(accept, t_, v_), trial, values)
+        new_cost = jnp.where(accept, trial_cost, cost)
+        new_damping = jnp.where(
+            accept, jnp.maximum(damping * 0.3, 1e-15),
+            jnp.minimum(damping * 10.0, 1e15))
+        new_damping = jnp.where(grad_conv | step_conv | bad, damping,
+                                new_damping)
+        new_term = jnp.where(
+            grad_conv, 1,
+            jnp.where(bad, 4,
+                      jnp.where(step_conv, 2,
+                                jnp.where(cost_conv, 3, 0)))).astype(
+                                    jnp.int32)
+        new_done = grad_conv | step_conv | cost_conv | bad
+        return (new_values, new_damping, new_cost, it + 1,
+                accepted + accept.astype(jnp.int32), new_term, new_done)
+
+    def cond(carry):
+        _, _, _, it, _, _, done = carry
+        return (~done) & (it < max_iterations)
+
+    damping0 = jnp.asarray(initial_damping, f_)
+    # full-f32 matmul passes (MXU bf16-pass default costs ~10x RMSE on the
+    # 10k benchmarks — measured on the chain solver, same blocks here)
+    with jax.default_matmul_precision("float32"):
+        cost0 = cost_only(values_b)
+        values, _, cost, it, accepted, term, _ = jax.lax.while_loop(
+            cond, body,
+            (values_b, damping0, cost0, jnp.asarray(0, jnp.int32),
+             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+             jnp.asarray(False)),
+        )
+    return values, ChainSummary(cost0, cost, it, accepted, term)
+
+
+def solve_general_graph(values0, edges_from, edges_to, measurements,
+                        information, fixed_mask, *, residual_fn,
+                        retract_fn, tdim, max_supernode=256,
+                        max_iterations=50, tolerance=1e-10):
+    """RCM-plan a general graph, run the banded LM, un-permute.
+
+    values0 [n, dim] in ORIGINAL node order; returns (values [n, dim]
+    original order, ChainSummary, BandedPlan)."""
+    values0 = jnp.asarray(values0)
+    n = values0.shape[0]
+    ef = np.asarray(edges_from)
+    et = np.asarray(edges_to)
+    meas = np.asarray(measurements)
+    info = None if information is None else np.asarray(information)
+    plan = plan_banded(n, ef, et, max_supernode)
+    f = values0.dtype
+
+    # permute nodes into banded order
+    values_b = values0[jnp.asarray(plan.order)]
+    fixed_b = jnp.asarray(np.asarray(fixed_mask)[plan.order])
+    pf = plan.perm[ef]
+    pt = plan.perm[et]
+    ib = plan.in_band
+    band_info = None if info is None else jnp.asarray(info[ib], f)
+    loop_info = None if info is None else jnp.asarray(info[~ib], f)
+
+    out_b, summ = solve_banded_lm(
+        values_b,
+        jnp.asarray(pf[ib], jnp.int32),
+        jnp.asarray(pt[ib], jnp.int32),
+        jnp.asarray(meas[ib], f),
+        band_info,
+        jnp.asarray(pf[~ib], jnp.int32),
+        jnp.asarray(pt[~ib], jnp.int32),
+        jnp.asarray(meas[~ib], f),
+        loop_info,
+        fixed_b,
+        residual_fn=residual_fn,
+        retract_fn=retract_fn,
+        tdim=tdim,
+        supernode=plan.supernode,
+        num_super=plan.num_super,
+        max_iterations=max_iterations,
+        gradient_tolerance=tolerance,
+        step_tolerance=tolerance,
+        cost_tolerance=tolerance * tolerance,
+    )
+    return out_b[jnp.asarray(plan.perm)], summ, plan

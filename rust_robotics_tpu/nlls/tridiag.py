@@ -61,7 +61,13 @@ def inv_spd(m):
         top = jnp.concatenate([tl, tr], axis=-1)
         bottom = jnp.concatenate([jnp.swapaxes(tr, -1, -2), s_inv], axis=-1)
         return jnp.concatenate([top, bottom], axis=-2)
-    return jnp.linalg.inv(m)
+    # fat (supernodal) blocks: Cholesky inverse — half the FLOPs of the
+    # LU path and SPD-stable (cyclic reduction's Schur complements of an
+    # SPD system stay SPD)
+    l = jnp.linalg.cholesky(m)
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=m.dtype), m.shape)
+    l_inv = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+    return jnp.swapaxes(l_inv, -1, -2) @ l_inv
 
 
 class CRFactor(NamedTuple):
@@ -150,10 +156,15 @@ def block_tridiag_factor(diag, upper):
     a = jnp.concatenate([jnp.zeros((1, d, d), f_),
                          jnp.swapaxes(c[:-1], -1, -2)], 0)  # A_i = C_{i-1}^T
 
-    # --- top: unrolled geometric levels down to _TAIL_M -------------------
+    # --- top: unrolled geometric levels down to the tail threshold --------
+    # Fat (supernodal) blocks unroll fully: their per-level jaxpr is a
+    # handful of matmul ops (compile-cheap) while the uniform-scan tail
+    # would redo full-length batched inverses at every level (3x the
+    # arithmetic — measured 2x factor time on the 100x100 grid).
+    tail_m = _TAIL_M if d <= 8 else 1
     top = []
     m_cur = m
-    while m_cur > _TAIL_M:
+    while m_cur > tail_m:
         level, (b, a, c) = _reduce_level(b, a, c, eye, d, f_)
         top.append(level)
         m_cur //= 2

@@ -98,11 +98,32 @@ def optimize_pose_graph_2d(poses, edges_from, edges_to, measurements,
     cyclic-reduction block-tridiagonal direct solve + Woodbury loop-closure
     correction (nlls/tridiag.py) — the TPU-native path for sequential-SLAM
     graphs (odometry chain + loop closures): no Krylov iteration, no
-    per-iteration host syncs."""
+    per-iteration host syncs.
+
+    linear_solver="banded_direct" handles ARBITRARY topologies (grid
+    graphs, Manhattan-style datasets — anything the chain structure can't
+    express): RCM reorder -> fat-block supernodal tridiagonal + streamed
+    Woodbury for out-of-band edges (nlls/banded.py).
+
+    linear_solver="direct" auto-routes: chain_direct when an (i,i+1)
+    odometry chain exists, banded_direct otherwise."""
+    if linear_solver == "direct":
+        import numpy as _np
+        ef_np = _np.asarray(edges_from)
+        et_np = _np.asarray(edges_to)
+        consec = _np.zeros(_np.asarray(poses).shape[0] - 1, bool)
+        mask = et_np == ef_np + 1
+        consec[ef_np[mask]] = True
+        linear_solver = "chain_direct" if consec.all() else "banded_direct"
     if linear_solver == "chain_direct":
         return _optimize_chain_direct(poses, edges_from, edges_to,
                                       measurements, information,
                                       max_iterations, tolerance)
+    if linear_solver == "banded_direct":
+        return _optimize_banded_direct(poses, edges_from, edges_to,
+                                       measurements, information,
+                                       max_iterations, tolerance,
+                                       se2_edge_residual, se2_retract, 3)
     prob = build_pose_graph_2d(poses, edges_from, edges_to, measurements,
                                information)
     cfg = SolverConfig(
@@ -157,6 +178,35 @@ def _optimize_chain_direct(poses, edges_from, edges_to, measurements,
     # chain_direct performs exactly ONE direct linear solve per LM
     # iteration (no Krylov loop), so linear_iterations == iterations here
     # by construction — unlike the PCG paths, where it counts Krylov steps
+    summary = SolverSummary(
+        float(summ.initial_cost), float(summ.final_cost),
+        int(summ.iterations), int(summ.accepted_steps),
+        TERMINATION_NAMES[int(summ.termination_code)],
+        int(summ.iterations),
+    )
+    return out, summary
+
+
+def _optimize_banded_direct(poses, edges_from, edges_to, measurements,
+                            information, max_iterations, tolerance,
+                            residual_fn, retract_fn, tdim,
+                            fix_first=True):
+    """General-topology pose graph on the RCM-banded supernodal solver
+    (nlls/banded.py); one direct linear solve per LM iteration."""
+    import numpy as _np
+
+    from rust_robotics_tpu.nlls.banded import solve_general_graph
+    from rust_robotics_tpu.nlls.solver import SolverSummary
+    from rust_robotics_tpu.nlls.tridiag import TERMINATION_NAMES
+
+    poses = jnp.asarray(poses)
+    n = poses.shape[0]
+    fixed = _np.zeros((n,), bool)
+    fixed[0] = fix_first
+    out, summ, _plan = solve_general_graph(
+        poses, edges_from, edges_to, measurements, information, fixed,
+        residual_fn=residual_fn, retract_fn=retract_fn, tdim=tdim,
+        max_iterations=max(max_iterations, 1), tolerance=tolerance)
     summary = SolverSummary(
         float(summ.initial_cost), float(summ.final_cost),
         int(summ.iterations), int(summ.accepted_steps),

@@ -1,0 +1,165 @@
+"""RCM-banded supernodal direct solver (nlls/banded.py): the
+general-topology counterpart of the chain solver — VERDICT r3 #2 ("win a
+general non-chain 10k graph").
+
+Parity model: the dense host LM solver (nlls/solver.py) is the oracle,
+itself pinned against the reference's optimize_pose_graph semantics
+(pose_graph_optimization.rs:73-140)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rust_robotics_tpu.demos.pose_graph_bench import (
+    rmse,
+    synthesize_chain,
+    synthesize_grid,
+)
+from rust_robotics_tpu.nlls.banded import plan_banded
+from rust_robotics_tpu.slam.pose_graph import optimize_pose_graph_2d
+
+
+def test_plan_banded_grid_bandwidth():
+    """A W-by-H grid's RCM bandwidth is ~min(W, H); all 4-neighbor edges
+    must land in-band, long closures out-of-band."""
+    truth, initial, ef, et, meas, info = synthesize_grid(12, 9, 6)
+    plan = plan_banded(truth.shape[0], ef, et)
+    n_grid_edges = 12 * 8 + 11 * 9  # vertical + horizontal
+    assert plan.bandwidth <= 3 * min(12, 9)  # RCM is heuristic, not optimal
+    assert plan.in_band[:n_grid_edges].all()
+    # permutation is a bijection
+    assert np.array_equal(np.sort(plan.order), np.arange(truth.shape[0]))
+    assert np.array_equal(plan.perm[plan.order], np.arange(truth.shape[0]))
+
+
+def test_banded_matches_dense_on_grid():
+    """Grid + out-of-band closures: banded_direct must match the dense
+    LM solve to fp precision (same LM schedule, exact linear solves)."""
+    truth, initial, ef, et, meas, info = synthesize_grid(8, 7, 4)
+    args = (jnp.asarray(initial), ef, et, jnp.asarray(meas),
+            jnp.asarray(info))
+    dense, _ = optimize_pose_graph_2d(
+        *args, max_iterations=25, tolerance=1e-10, linear_solver="dense")
+    band, summ = optimize_pose_graph_2d(
+        *args, max_iterations=25, tolerance=1e-10,
+        linear_solver="banded_direct")
+    np.testing.assert_allclose(np.asarray(band), np.asarray(dense),
+                               atol=1e-8)
+    assert rmse(np.asarray(band), truth) < 1e-9
+    assert summ.termination in ("gradient_converged", "cost_converged",
+                                "step_converged")
+
+
+def test_banded_matches_dense_on_chain_topology():
+    """The banded solver must also serve chain graphs (bandwidth ~100
+    from the every-100 loop edges) — general means general."""
+    truth, initial, ef, et, meas, info = synthesize_chain(300)
+    args = (jnp.asarray(initial), ef, et, jnp.asarray(meas),
+            jnp.asarray(info))
+    dense, _ = optimize_pose_graph_2d(
+        *args, max_iterations=20, tolerance=1e-9, linear_solver="dense")
+    band, _ = optimize_pose_graph_2d(
+        *args, max_iterations=20, tolerance=1e-9,
+        linear_solver="banded_direct")
+    np.testing.assert_allclose(np.asarray(band), np.asarray(dense),
+                               atol=1e-6)
+
+
+def test_direct_auto_routing():
+    """linear_solver='direct' picks chain_direct for odometry chains and
+    banded_direct for everything else; both must converge."""
+    truth_c, init_c, ef_c, et_c, meas_c, info_c = synthesize_chain(200)
+    poses_c, _ = optimize_pose_graph_2d(
+        jnp.asarray(init_c), ef_c, et_c, jnp.asarray(meas_c),
+        jnp.asarray(info_c), max_iterations=20, tolerance=1e-9,
+        linear_solver="direct")
+    assert rmse(np.asarray(poses_c), truth_c) < 1e-5
+
+    truth_g, init_g, ef_g, et_g, meas_g, info_g = synthesize_grid(6, 6, 2)
+    poses_g, _ = optimize_pose_graph_2d(
+        jnp.asarray(init_g), ef_g, et_g, jnp.asarray(meas_g),
+        jnp.asarray(info_g), max_iterations=20, tolerance=1e-9,
+        linear_solver="direct")
+    assert rmse(np.asarray(poses_g), truth_g) < 1e-5
+
+
+def test_banded_multi_chunk_woodbury(monkeypatch):
+    """Force the multi-chunk out-of-band path and pin it against the
+    single-chunk solve."""
+    import rust_robotics_tpu.nlls.banded as bd
+
+    truth, initial, ef, et, meas, info = synthesize_grid(7, 6, 5)
+    args = (jnp.asarray(initial), ef, et, jnp.asarray(meas),
+            jnp.asarray(info))
+    kw = dict(max_iterations=15, tolerance=1e-9,
+              linear_solver="banded_direct")
+    one, _ = optimize_pose_graph_2d(*args, **kw)
+    bd.solve_banded_lm.clear_cache()
+    monkeypatch.setattr(bd, "WOODBURY_CHUNK_BYTES", 1)
+    try:
+        chunked, _ = optimize_pose_graph_2d(*args, **kw)
+    finally:
+        bd.solve_banded_lm.clear_cache()
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(one),
+                               atol=1e-7)
+
+
+def test_banded_se3_graph():
+    """The solver is dimension-generic: a small SE(3) ring graph through
+    solve_general_graph with tdim=6 matches the dense path."""
+    from rust_robotics_tpu.core.lie import se3_exp, se3_log
+    from rust_robotics_tpu.nlls.banded import solve_general_graph
+    from rust_robotics_tpu.slam.pose_graph import (
+        optimize_pose_graph_3d,
+        se3_edge_residual,
+        se3_retract,
+    )
+
+    n = 14
+    rng = np.random.default_rng(5)
+    truth = np.stack([
+        np.concatenate([[0.5 * k, 0.1 * np.sin(k), 0.05 * k],
+                        0.05 * np.sin([0.3 * k, 0.7 * k, 1.1 * k])])
+        for k in range(n)])
+    ef = list(range(n - 1)) + [0, 3]
+    et = list(range(1, n)) + [n - 1, 9]
+    meas = []
+    for a, b in zip(ef, et):
+        za = se3_exp(jnp.asarray(truth[a]))
+        zb = se3_exp(jnp.asarray(truth[b]))
+        meas.append(np.asarray(se3_log(
+            jnp.linalg.inv(za) @ zb)))
+    meas = np.stack(meas)
+    initial = truth + rng.normal(0, 0.02, truth.shape)
+    initial[0] = truth[0]
+
+    dense, _ = optimize_pose_graph_3d(
+        jnp.asarray(initial), ef, et, jnp.asarray(meas),
+        max_iterations=20, tolerance=1e-9, linear_solver="dense")
+    fixed = np.zeros((n,), bool)
+    fixed[0] = True
+    band, summ, plan = solve_general_graph(
+        jnp.asarray(initial), ef, et, meas, None, fixed,
+        residual_fn=se3_edge_residual, retract_fn=se3_retract, tdim=6,
+        max_iterations=20, tolerance=1e-9)
+    np.testing.assert_allclose(np.asarray(band), np.asarray(dense),
+                               atol=1e-6)
+
+
+@pytest.mark.slow
+def test_grid_10k_banded_beats_reference_quality():
+    """The 100x100 grid + 50 closures (10k poses, NON-chain): RMSE must
+    land under the reference's large-benchmark gate (2.2e-3,
+    README.md:728-730). Wall-clock is recorded by bench.py on the TPU
+    (gated there; ~1 s-class vs the reference's 8.62 s chain time) and
+    asserted here only under RRT_ASSERT_WALL_CLOCK=1."""
+    import os
+
+    from rust_robotics_tpu.demos.pose_graph_bench import run_grid_benchmark
+
+    seconds, err, iters = run_grid_benchmark(100, 100, 50,
+                                             max_iterations=25)
+    assert err < 2.2e-3, err
+    assert iters >= 3
+    if os.environ.get("RRT_ASSERT_WALL_CLOCK") == "1":
+        assert seconds < 8.62, (seconds, err)
