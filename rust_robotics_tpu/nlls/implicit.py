@@ -30,6 +30,8 @@ backward pass needs only the converged solution.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -137,3 +139,137 @@ def solve_implicit(problem: Problem, loss_fn,
     solved, summary = solve(problem, config)
     loss, grads = implicit_vjp(solved, loss_fn)
     return solved, summary, loss, grads
+
+
+# ---------------------------------------------------------------------------
+# Flagship-scale IFT: chain-structured problems
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("loss_fn", "residual_fn", "retract_fn", "tdim"),
+)
+def chain_implicit_vjp(values, chain_meas, chain_info, loop_from, loop_to,
+                       loop_meas, loop_info, fixed_mask, loss_fn, *,
+                       residual_fn, retract_fn, tdim):
+    """IFT gradients through `solve_chain_lm`'s converged solution at
+    FLAGSHIP scale (VERDICT r3 #3: the dense `jnp.linalg.solve` in
+    `implicit_vjp` is a 30k² matrix at 10k poses — impossible; this
+    solves H w = u with the SAME block-tridiagonal + streamed-Woodbury
+    machinery as the forward pass, O(n) memory, seconds on TPU).
+
+    values: the SOLVED chain values [n, dim] (run solve_chain_lm first).
+    loss_fn(values [n, dim]) -> scalar. Remaining arguments exactly as
+    solve_chain_lm. Uses the Gauss-Newton Hessian — exact at zero
+    residual and FD-pinned by tests/test_implicit.py elsewhere; pass
+    through `implicit_vjp(hessian="exact")` for small high-residual
+    problems instead.
+
+    Returns (loss, d_chain_meas [n-1, rdim], d_loop_meas [L, rdim]).
+    """
+    from rust_robotics_tpu.nlls.tridiag import (
+        build_w_inv,
+        chain_linearize,
+        chain_woodbury_solve,
+    )
+
+    n = values.shape[0]
+    num_l = loop_from.shape[0]
+    rdim = chain_meas.shape[-1]
+    f_ = values.dtype
+    fixed = fixed_mask
+    zero = jnp.zeros((n, tdim), f_)
+    eye_t = jnp.eye(tdim, dtype=f_)
+
+    def retract_all(delta):
+        delta = jnp.where(fixed[:, None], 0.0, delta)
+        return jax.vmap(retract_fn)(values, delta)
+
+    def apply_info(info, v):
+        return v if info is None else jnp.einsum("eij,e...j->e...i",
+                                                 info, v)
+
+    with jax.default_matmul_precision("float32"):
+        # u = tangent-space gradient of the loss at the optimum
+        loss, u = jax.value_and_grad(
+            lambda d: loss_fn(retract_all(d)))(zero)
+        u = jnp.where(fixed[:, None], 0.0, u)
+
+        # H w = u with the Gauss-Newton chain Hessian (fixed rows ->
+        # identity; no LM damping: H at the optimum is PD once the gauge
+        # is fixed)
+        _, b, c, jac_loop, _, _ = chain_linearize(
+            values, chain_meas, chain_info, loop_from, loop_to,
+            loop_meas, loop_info, fixed, residual_fn=residual_fn,
+            retract_fn=retract_fn, tdim=tdim)
+        bd = jnp.where(fixed[:, None, None], eye_t, b)
+        w_inv = build_w_inv(loop_info, num_l, rdim, f_) if num_l else None
+        w = chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to,
+                                 w_inv, u)
+        w = jnp.where(fixed[:, None], 0.0, w)
+
+        # dL/dm = -(∂g/∂m)ᵀ w via one vjp of the tangent gradient in m
+        def tangent_grad(c_meas, l_meas):
+            def cost_of(delta):
+                v = retract_all(delta)
+                r_c = jax.vmap(residual_fn)(v[:-1], v[1:], c_meas)
+                cost = 0.5 * jnp.sum(r_c * apply_info(chain_info, r_c))
+                if num_l:
+                    r_l = jax.vmap(residual_fn)(
+                        v[loop_from], v[loop_to], l_meas)
+                    cost = cost + 0.5 * jnp.sum(
+                        r_l * apply_info(loop_info, r_l))
+                return cost
+
+            return jax.grad(cost_of)(zero)
+
+        _, pullback = jax.vjp(tangent_grad, chain_meas, loop_meas)
+        d_chain, d_loop = pullback(-w)
+    return loss, d_chain, d_loop
+
+
+def pose_graph_implicit_vjp(poses_solution, edges_from, edges_to,
+                            measurements, information, loss_fn,
+                            fix_first=True):
+    """SE(2) pose-graph convenience wrapper: IFT gradients of
+    `loss_fn(poses [N, 3])` w.r.t. EVERY edge measurement, at chain
+    scale. `poses_solution` must be the chain_direct optimum
+    (slam/pose_graph.py). Returns (loss, d_measurements [E, 3]) in the
+    ORIGINAL edge order."""
+    import numpy as np
+
+    from rust_robotics_tpu.nlls.tridiag import classify_chain_edges
+    from rust_robotics_tpu.slam.pose_graph import (
+        se2_edge_residual,
+        se2_retract,
+    )
+
+    poses = jnp.asarray(poses_solution)
+    n = poses.shape[0]
+    ef = np.asarray(edges_from)
+    et = np.asarray(edges_to)
+    meas = np.asarray(measurements)
+    f = poses.dtype
+    (chain_meas, chain_info, loop_ef, loop_et, loop_meas,
+     loop_info) = classify_chain_edges(n, ef, et, meas, information)
+    fixed = jnp.zeros((n,), bool).at[0].set(fix_first)
+    loss, d_chain, d_loop = chain_implicit_vjp(
+        poses, jnp.asarray(chain_meas, f),
+        None if chain_info is None else jnp.asarray(chain_info, f),
+        jnp.asarray(loop_ef, jnp.int32), jnp.asarray(loop_et, jnp.int32),
+        jnp.asarray(loop_meas, f),
+        None if loop_info is None else jnp.asarray(loop_info, f),
+        fixed, loss_fn, residual_fn=se2_edge_residual,
+        retract_fn=se2_retract, tdim=3)
+    # scatter chain/loop gradients back to the original edge order
+    d_all = np.zeros_like(meas)
+    consecutive = et == ef + 1
+    first_idx = np.full(n - 1, -1, dtype=np.int64)
+    for e in np.nonzero(consecutive)[0]:
+        if first_idx[ef[e]] < 0:
+            first_idx[ef[e]] = e
+    is_chain = np.zeros(len(ef), dtype=bool)
+    is_chain[first_idx] = True
+    d_all[first_idx] = np.asarray(d_chain)
+    d_all[~is_chain] = np.asarray(d_loop)
+    return loss, d_all

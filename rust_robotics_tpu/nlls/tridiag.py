@@ -312,6 +312,176 @@ def apply_columns_chunked(factor: CRFactor, u, max_bytes=256 * 1024 * 1024):
     return y[..., :k]
 
 
+def chain_linearize(values, chain_meas, chain_info, loop_from, loop_to,
+                    loop_meas, loop_info, fixed, *, residual_fn,
+                    retract_fn, tdim):
+    """Gauss-Newton linearization of a chain factor graph with loop
+    closures at `values`. Returns (grad [n,t], B [n,t,t] tridiagonal
+    diagonal blocks, C [n-1,t,t] super-diagonal blocks, jac_loop
+    (ji_l, jj_l) raw loop Jacobians or None, diag_loop [n,t] loop
+    Hessian diagonal, cost). Shared by the LM forward pass
+    (solve_chain_lm) and the IFT backward pass (nlls/implicit.py)."""
+    n = values.shape[0]
+    num_l = loop_from.shape[0]
+    f_ = values.dtype
+
+    def edge_terms(xi, xj, meas):
+        z = jnp.zeros((tdim,), f_)
+
+        def r_of(di, dj):
+            return residual_fn(retract_fn(xi, di), retract_fn(xj, dj),
+                               meas)
+
+        r0 = r_of(z, z)
+        ji, jj = jax.jacfwd(r_of, argnums=(0, 1))(z, z)
+        return r0, ji, jj
+
+    def apply_info(info, v):
+        return v if info is None else jnp.einsum("eij,e...j->e...i",
+                                                 info, v)
+
+    # --- chain edges -----------------------------------------------------
+    r_c, ji_c, jj_c = jax.vmap(edge_terms)(
+        values[:-1], values[1:], chain_meas)
+    ji_c = jnp.where(fixed[:-1, None, None], 0.0, ji_c)
+    jj_c = jnp.where(fixed[1:, None, None], 0.0, jj_c)
+    lam_r_c = apply_info(chain_info, r_c)
+    cost = 0.5 * jnp.sum(r_c * lam_r_c)
+    lam_ji = apply_info(chain_info, ji_c)
+    lam_jj = apply_info(chain_info, jj_c)
+
+    grad = jnp.zeros((n, tdim), f_)
+    grad = grad.at[:-1].add(jnp.einsum("eri,er->ei", ji_c, lam_r_c))
+    grad = grad.at[1:].add(jnp.einsum("eri,er->ei", jj_c, lam_r_c))
+
+    b = jnp.zeros((n, tdim, tdim), f_)
+    b = b.at[:-1].add(jnp.einsum("eri,erj->eij", ji_c, lam_ji))
+    b = b.at[1:].add(jnp.einsum("eri,erj->eij", jj_c, lam_jj))
+    c = jnp.einsum("eri,erj->eij", ji_c, lam_jj)  # [n-1, t, t]
+
+    # --- loop closures ---------------------------------------------------
+    if num_l:
+        r_l, ji_l, jj_l = jax.vmap(edge_terms)(
+            values[loop_from], values[loop_to], loop_meas)
+        ji_l = jnp.where(fixed[loop_from, None, None], 0.0, ji_l)
+        jj_l = jnp.where(fixed[loop_to, None, None], 0.0, jj_l)
+        lam_r_l = apply_info(loop_info, r_l)
+        cost = cost + 0.5 * jnp.sum(r_l * lam_r_l)
+        grad = grad.at[loop_from].add(
+            jnp.einsum("eri,er->ei", ji_l, lam_r_l))
+        grad = grad.at[loop_to].add(
+            jnp.einsum("eri,er->ei", jj_l, lam_r_l))
+        # UWU^T diagonal contribution (needed only for the damping
+        # magnitude, sparse.rs:34-42 uses the FULL H diagonal)
+        lam_ji_l = apply_info(loop_info, ji_l)
+        lam_jj_l = apply_info(loop_info, jj_l)
+        diag_loop = jnp.zeros((n, tdim), f_)
+        diag_loop = diag_loop.at[loop_from].add(
+            jnp.einsum("erk,erk->ek", ji_l, lam_ji_l))
+        diag_loop = diag_loop.at[loop_to].add(
+            jnp.einsum("erk,erk->ek", jj_l, lam_jj_l))
+        # the raw loop Jacobians ARE the Woodbury factor: H_loop =
+        # U W Uᵀ with U's flat column block e holding J_i^T / J_j^T at
+        # rows i_e / j_e. U is never materialized ([n, t, K] is the
+        # 100k-pose memory cliff, VERDICT r3 #6) — the solve streams
+        # edge chunks (chain_woodbury_solve).
+        jac_loop = (ji_l, jj_l)
+    else:
+        diag_loop = jnp.zeros((n, tdim), f_)
+        jac_loop = None
+
+    grad = jnp.where(fixed[:, None], 0.0, grad)
+    return grad, b, c, jac_loop, diag_loop, cost
+
+
+def build_w_inv(loop_info, num_l, rdim, dtype):
+    """Block-diagonal W⁻¹ [K, K] of the loop-edge information blocks."""
+    w_inv_blocks = (jnp.broadcast_to(jnp.eye(rdim, dtype=dtype),
+                                     (num_l, rdim, rdim))
+                    if loop_info is None else inv_spd(loop_info))
+    k_w = num_l * rdim
+    w_inv = jnp.zeros((k_w, k_w), dtype)
+    el = jnp.arange(num_l)[:, None, None]
+    ri = jnp.arange(rdim)
+    w_inv = w_inv.at[el * rdim + ri[None, :, None],
+                     el * rdim + ri[None, None, :]].set(w_inv_blocks)
+    return w_inv
+
+
+def chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to, w_inv,
+                         rhs_vec):
+    """x = (T + U W Uᵀ)⁻¹ rhs_vec for an assembled chain system.
+
+    bd [n,t,t] damped/fixed-adjusted diagonal blocks, c [n-1,t,t] super-
+    diagonal, jac_loop = (ji_l, jj_l) raw loop Jacobians (or None),
+    w_inv [K,K], rhs_vec [n,t]. U's columns are streamed in edge chunks
+    sized by WOODBURY_CHUNK_BYTES — no O(n·K) array is materialized.
+    Shared by solve_chain_lm's inner solve and the IFT backward pass."""
+    n, tdim, _ = bd.shape
+    f_ = bd.dtype
+    fac = block_tridiag_factor(bd, c)
+    y0 = block_tridiag_apply(fac, rhs_vec[..., None])[..., 0]
+    if jac_loop is None:
+        return y0
+    ji_l, jj_l = jac_loop
+    num_l = loop_from.shape[0]
+    rdim = ji_l.shape[1]
+    k_w = num_l * rdim
+
+    m_pow2 = 1 if n == 1 else 1 << (n - 1).bit_length()
+    _bytes_per_edge = 3 * (2 * m_pow2) * 8 * 4 * rdim
+    cs_edges = max(1, min(num_l,
+                          WOODBURY_CHUNK_BYTES // _bytes_per_edge))
+    nc_edges = -(-num_l // cs_edges)
+
+    def ut_apply(z):
+        """Uᵀ z for z [n, t, C] -> [K, C] via row gathers (U's only
+        nonzero rows are the loop endpoints)."""
+        zi = z[loop_from]
+        zj = z[loop_to]
+        out = (jnp.einsum("eat,etc->eac", ji_l, zi)
+               + jnp.einsum("eat,etc->eac", jj_l, zj))
+        return out.reshape(k_w, -1)
+
+    def s_cols_of_chunk(chunk):
+        """T⁻¹ applied to one chunk of U's columns, contracted back to
+        the corresponding S columns [K, cs*r]."""
+        ji_c, jj_c, ef_c, et_c = chunk
+        cols = (jnp.arange(cs_edges)[:, None] * rdim
+                + jnp.arange(rdim)[None, :])  # [cs, r]
+        rhs = jnp.zeros((n, tdim, cs_edges * rdim), f_)
+        rhs = rhs.at[ef_c[:, None], :, cols].add(ji_c)
+        rhs = rhs.at[et_c[:, None], :, cols].add(jj_c)
+        return ut_apply(block_tridiag_apply(fac, rhs))
+
+    pad_e = nc_edges * cs_edges - num_l
+
+    def pad0(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((pad_e,) + x.shape[1:], x.dtype)], 0) \
+            if pad_e else x
+
+    chunks = tuple(
+        pad0(x).reshape((nc_edges, cs_edges) + x.shape[1:])
+        for x in (ji_l, jj_l, loop_from, loop_to))
+    if nc_edges == 1:
+        uty = s_cols_of_chunk(tuple(x[0] for x in chunks))
+    else:
+        s_parts = jax.lax.map(s_cols_of_chunk, chunks)  # [nc, K, cs*r]
+        uty = jnp.moveaxis(s_parts, 0, 1).reshape(
+            k_w, nc_edges * cs_edges * rdim)[:, :k_w]
+    s = w_inv + uty
+    rhs_c = ut_apply(y0[..., None])[:, 0]
+    coef = jnp.linalg.solve(s, rhs_c)
+    # correction T⁻¹ (U coef) via one more ladder apply; U coef is
+    # assembled sparsely from the edge Jacobians
+    cb = coef.reshape(num_l, rdim)
+    u_coef = jnp.zeros((n, tdim), f_)
+    u_coef = u_coef.at[loop_from].add(jnp.einsum("eat,ea->et", ji_l, cb))
+    u_coef = u_coef.at[loop_to].add(jnp.einsum("eat,ea->et", jj_l, cb))
+    return y0 - block_tridiag_apply(fac, u_coef[..., None])[..., 0]
+
+
 class ChainSummary(NamedTuple):
     initial_cost: jnp.ndarray
     final_cost: jnp.ndarray
@@ -369,77 +539,17 @@ def solve_chain_lm(
     num_l = loop_from.shape[0]
     rdim = chain_meas.shape[-1]
     f_ = values0.dtype
-    k_w = num_l * rdim
 
     fixed = fixed_mask
-
-    def edge_terms(xi, xj, meas):
-        z = jnp.zeros((tdim,), f_)
-
-        def r_of(di, dj):
-            return residual_fn(retract_fn(xi, di), retract_fn(xj, dj), meas)
-
-        r0 = r_of(z, z)
-        ji, jj = jax.jacfwd(r_of, argnums=(0, 1))(z, z)
-        return r0, ji, jj
 
     def apply_info(info, v):
         return v if info is None else jnp.einsum("eij,e...j->e...i", info, v)
 
     def linearize(values):
-        """Returns (grad [n,t], B [n,t,t], C [n-1,t,t], U [n,t,K], cost)."""
-        # --- chain edges -------------------------------------------------
-        r_c, ji_c, jj_c = jax.vmap(edge_terms)(
-            values[:-1], values[1:], chain_meas)
-        ji_c = jnp.where(fixed[:-1, None, None], 0.0, ji_c)
-        jj_c = jnp.where(fixed[1:, None, None], 0.0, jj_c)
-        lam_r_c = apply_info(chain_info, r_c)
-        cost = 0.5 * jnp.sum(r_c * lam_r_c)
-        lam_ji = apply_info(chain_info, ji_c)
-        lam_jj = apply_info(chain_info, jj_c)
-
-        grad = jnp.zeros((n, tdim), f_)
-        grad = grad.at[:-1].add(jnp.einsum("eri,er->ei", ji_c, lam_r_c))
-        grad = grad.at[1:].add(jnp.einsum("eri,er->ei", jj_c, lam_r_c))
-
-        b = jnp.zeros((n, tdim, tdim), f_)
-        b = b.at[:-1].add(jnp.einsum("eri,erj->eij", ji_c, lam_ji))
-        b = b.at[1:].add(jnp.einsum("eri,erj->eij", jj_c, lam_jj))
-        c = jnp.einsum("eri,erj->eij", ji_c, lam_jj)  # [n-1, t, t]
-
-        # --- loop closures ----------------------------------------------
-        if num_l:
-            r_l, ji_l, jj_l = jax.vmap(edge_terms)(
-                values[loop_from], values[loop_to], loop_meas)
-            ji_l = jnp.where(fixed[loop_from, None, None], 0.0, ji_l)
-            jj_l = jnp.where(fixed[loop_to, None, None], 0.0, jj_l)
-            lam_r_l = apply_info(loop_info, r_l)
-            cost = cost + 0.5 * jnp.sum(r_l * lam_r_l)
-            grad = grad.at[loop_from].add(
-                jnp.einsum("eri,er->ei", ji_l, lam_r_l))
-            grad = grad.at[loop_to].add(
-                jnp.einsum("eri,er->ei", jj_l, lam_r_l))
-            # UWU^T diagonal contribution (needed only for the damping
-            # magnitude, sparse.rs:34-42 uses the FULL H diagonal)
-            lam_ji_l = apply_info(loop_info, ji_l)
-            lam_jj_l = apply_info(loop_info, jj_l)
-            diag_loop = jnp.zeros((n, tdim), f_)
-            diag_loop = diag_loop.at[loop_from].add(
-                jnp.einsum("erk,erk->ek", ji_l, lam_ji_l))
-            diag_loop = diag_loop.at[loop_to].add(
-                jnp.einsum("erk,erk->ek", jj_l, lam_jj_l))
-            # the raw loop Jacobians ARE the Woodbury factor: H_loop =
-            # U W Uᵀ with U's flat column block e holding J_i^T / J_j^T
-            # at rows i_e / j_e. U is never materialized ([n, t, K] is
-            # the 100k-pose memory cliff, VERDICT r3 #6) — the solve
-            # streams edge chunks below.
-            jac_loop = (ji_l, jj_l)
-        else:
-            diag_loop = jnp.zeros((n, tdim), f_)
-            jac_loop = None
-
-        grad = jnp.where(fixed[:, None], 0.0, grad)
-        return grad, b, c, jac_loop, diag_loop, cost
+        return chain_linearize(
+            values, chain_meas, chain_info, loop_from, loop_to, loop_meas,
+            loop_info, fixed, residual_fn=residual_fn,
+            retract_fn=retract_fn, tdim=tdim)
 
     def cost_only(values):
         r_c = jax.vmap(residual_fn)(values[:-1], values[1:], chain_meas)
@@ -451,28 +561,9 @@ def solve_chain_lm(
         return cost
 
     # W^{-1}: block-diagonal inverse information of the loop edges
-    if num_l:
-        w_inv_blocks = (jnp.broadcast_to(jnp.eye(rdim, dtype=f_),
-                                         (num_l, rdim, rdim))
-                        if loop_info is None else inv_spd(loop_info))
-        w_inv = jnp.zeros((k_w, k_w), f_)
-        el = jnp.arange(num_l)[:, None, None]
-        ri = jnp.arange(rdim)
-        rows = (el * rdim + ri[None, :, None])
-        cols = (el * rdim + ri[None, None, :])
-        w_inv = w_inv.at[rows, cols].set(w_inv_blocks)
+    w_inv = build_w_inv(loop_info, num_l, rdim, f_) if num_l else None
 
     eye_t = jnp.eye(tdim, dtype=f_)
-
-    # Woodbury edge-chunk size: the per-column cost of one ladder apply
-    # is ~2m forward-storage rows (t sublane-padded to 8 on TPU); chunk
-    # so one chunk's RHS + ladder storage stays within ~1.5 GB. All
-    # sizes are static (trace-time).
-    m_pow2 = 1 if n == 1 else 1 << (n - 1).bit_length()
-    _bytes_per_edge = 3 * (2 * m_pow2) * 8 * 4 * rdim
-    cs_edges = max(1, min(max(num_l, 1),
-                          WOODBURY_CHUNK_BYTES // _bytes_per_edge))
-    nc_edges = -(-num_l // cs_edges) if num_l else 0
 
     def lin_solve(grad, b, c, jac_loop, diag_loop, damping):
         # scaled LM damping on the FULL diagonal (sparse.rs:34-42)
@@ -480,68 +571,8 @@ def solve_chain_lm(
         lam = damping * jnp.maximum(jnp.abs(diag_t + diag_loop), 1.0)
         bd = b + jax.vmap(jnp.diag)(lam)
         bd = jnp.where(fixed[:, None, None], eye_t, bd)
-
-        fac = block_tridiag_factor(bd, c)
-        y0 = block_tridiag_apply(fac, -grad[..., None])[..., 0]
-        if num_l == 0:
-            return y0
-        ji_l, jj_l = jac_loop
-
-        def ut_apply(z):
-            """Uᵀ z for z [n, t, C] -> [K, C] via row gathers (U's only
-            nonzero rows are the loop endpoints)."""
-            zi = z[loop_from]
-            zj = z[loop_to]
-            out = (jnp.einsum("eat,etc->eac", ji_l, zi)
-                   + jnp.einsum("eat,etc->eac", jj_l, zj))
-            return out.reshape(k_w, -1)
-
-        def s_cols_of_chunk(chunk):
-            """T⁻¹ applied to one chunk of U's columns, contracted back
-            to the corresponding S columns [K, cs*r]."""
-            ji_c, jj_c, ef_c, et_c = chunk
-            cols = (jnp.arange(cs_edges)[:, None] * rdim
-                    + jnp.arange(rdim)[None, :])  # [cs, r]
-            rhs = jnp.zeros((n, tdim, cs_edges * rdim), f_)
-            rhs = rhs.at[ef_c[:, None], :, cols].add(ji_c)
-            rhs = rhs.at[et_c[:, None], :, cols].add(jj_c)
-            return ut_apply(block_tridiag_apply(fac, rhs))
-
-        pad_e = nc_edges * cs_edges - num_l
-        ji_p = jnp.concatenate(
-            [ji_l, jnp.zeros((pad_e,) + ji_l.shape[1:], f_)], 0) \
-            if pad_e else ji_l
-        jj_p = jnp.concatenate(
-            [jj_l, jnp.zeros((pad_e,) + jj_l.shape[1:], f_)], 0) \
-            if pad_e else jj_l
-        ef_p = jnp.concatenate(
-            [loop_from, jnp.zeros((pad_e,), loop_from.dtype)], 0) \
-            if pad_e else loop_from
-        et_p = jnp.concatenate(
-            [loop_to, jnp.zeros((pad_e,), loop_to.dtype)], 0) \
-            if pad_e else loop_to
-        chunks = (ji_p.reshape(nc_edges, cs_edges, rdim, tdim),
-                  jj_p.reshape(nc_edges, cs_edges, rdim, tdim),
-                  ef_p.reshape(nc_edges, cs_edges),
-                  et_p.reshape(nc_edges, cs_edges))
-        if nc_edges == 1:
-            uty = s_cols_of_chunk(tuple(x[0] for x in chunks))
-        else:
-            s_parts = jax.lax.map(s_cols_of_chunk, chunks)  # [nc, K, cs*r]
-            uty = jnp.moveaxis(s_parts, 0, 1).reshape(
-                k_w, nc_edges * cs_edges * rdim)[:, :k_w]
-        s = w_inv + uty
-        rhs_c = ut_apply(y0[..., None])[:, 0]
-        coef = jnp.linalg.solve(s, rhs_c)
-        # correction T⁻¹ (U coef) via one more ladder apply; U coef is
-        # assembled sparsely from the edge Jacobians
-        cb = coef.reshape(num_l, rdim)
-        u_coef = jnp.zeros((n, tdim), f_)
-        u_coef = u_coef.at[loop_from].add(
-            jnp.einsum("eat,ea->et", ji_l, cb))
-        u_coef = u_coef.at[loop_to].add(
-            jnp.einsum("eat,ea->et", jj_l, cb))
-        return y0 - block_tridiag_apply(fac, u_coef[..., None])[..., 0]
+        return chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to,
+                                    w_inv, -grad)
 
     def apply_step(values, delta):
         delta = jnp.where(fixed[:, None], 0.0, delta)

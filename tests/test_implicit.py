@@ -66,3 +66,100 @@ def test_solve_implicit_one_call():
     assert loss < 1e-8
     assert grads[0].shape == meas.shape
     assert bool(jnp.all(jnp.isfinite(grads[0])))
+
+
+def _solve_chain_direct(meas, initial, ef, et, info, max_iterations=40):
+    from rust_robotics_tpu.slam.pose_graph import optimize_pose_graph_2d
+
+    return optimize_pose_graph_2d(
+        jnp.asarray(initial), ef, et, jnp.asarray(meas),
+        jnp.asarray(info), max_iterations=max_iterations,
+        tolerance=1e-12, linear_solver="chain_direct")
+
+
+@pytest.mark.slow
+def test_chain_implicit_matches_finite_difference():
+    """The structure-exploiting IFT (block-tridiag + streamed Woodbury,
+    VERDICT r3 #3) FD-pinned on a small chain+loops graph."""
+    from rust_robotics_tpu.nlls.implicit import pose_graph_implicit_vjp
+
+    truth, initial, ef, et, meas, info = synthesize_chain(12)
+    # add a couple of loop closures so the Woodbury branch is exercised
+    from rust_robotics_tpu.demos.pose_graph_bench import relative
+    ef = np.concatenate([ef, [0, 4]])
+    et = np.concatenate([et, [7, 11]])
+    meas = np.concatenate(
+        [meas, [relative(truth[0], truth[7]),
+                relative(truth[4], truth[11])]])
+    info = np.concatenate([info, [np.eye(3) * 20.0] * 2])
+
+    poses, _ = _solve_chain_direct(meas, initial, ef, et, info)
+
+    def loss_fn(poses):
+        return jnp.sum(poses[-1] ** 2)
+
+    loss, g = pose_graph_implicit_vjp(poses, ef, et, meas, info, loss_fn)
+    assert g.shape == meas.shape
+    assert np.all(np.isfinite(g))
+
+    eps = 1e-6
+    checks = [(0, 0), (5, 1), (10, 2), (11, 0), (12, 1)]  # incl. a loop
+    for e, k in checks:
+        m2 = meas.copy()
+        m2[e, k] += eps
+        p2, _ = _solve_chain_direct(m2, initial, ef, et, info)
+        m3 = meas.copy()
+        m3[e, k] -= eps
+        p3, _ = _solve_chain_direct(m3, initial, ef, et, info)
+        fd = (float(loss_fn(jnp.asarray(p2)))
+              - float(loss_fn(jnp.asarray(p3)))) / (2 * eps)
+        np.testing.assert_allclose(g[e, k], fd, rtol=5e-4, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_chain_implicit_matches_dense_ift():
+    """chain_implicit_vjp must agree with the dense implicit_vjp
+    (hessian='gauss_newton') on the same solved problem."""
+    from rust_robotics_tpu.nlls.implicit import pose_graph_implicit_vjp
+
+    truth, initial, ef, et, meas, info = synthesize_chain(30)
+    solved, _ = _solve_chain(meas, initial, ef, et, info)
+
+    def loss_tuple(values_tuple):
+        return jnp.sum(values_tuple[0][-1] ** 2)
+
+    _, grads_dense = implicit_vjp(solved, loss_tuple,
+                                  hessian="gauss_newton")
+    poses_sol = solved.groups[0].values
+
+    def loss_poses(poses):
+        return jnp.sum(poses[-1] ** 2)
+
+    _, g_chain = pose_graph_implicit_vjp(poses_sol, ef, et, meas, info,
+                                         loss_poses)
+    np.testing.assert_allclose(g_chain, np.asarray(grads_dense[0]),
+                               rtol=1e-4, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_chain_implicit_10k_scale():
+    """d(final-pose loss)/d(ALL 10k odometry + loop measurements) — the
+    scale the README advertises. Dense IFT would need a 30k^2 Hessian;
+    the chain path is O(n). Runs in seconds (CPU slow tier; ~1 s-class
+    on the TPU)."""
+    from rust_robotics_tpu.nlls.implicit import pose_graph_implicit_vjp
+
+    truth, initial, ef, et, meas, info = synthesize_chain(10000)
+    poses, summ = _solve_chain_direct(meas, initial, ef, et, info,
+                                      max_iterations=15)
+
+    def loss_fn(poses):
+        return jnp.sum((poses[-1] - jnp.asarray(truth[-1],
+                                                poses.dtype)) ** 2)
+
+    loss, g = pose_graph_implicit_vjp(poses, ef, et, meas, info, loss_fn)
+    assert g.shape == meas.shape
+    assert np.all(np.isfinite(g))
+    # the final edge's longitudinal component moves the final pose
+    # directly: the gradient there must be materially nonzero
+    assert abs(g[9998, 0]) > 1e-8 or abs(g[9998, 1]) > 1e-8
