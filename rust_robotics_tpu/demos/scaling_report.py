@@ -90,12 +90,80 @@ def run_scaling_report(sizes: Sequence[int] = (1, 2, 4, 8),
     return rows
 
 
+def run_chain_weak_scaling(sizes: Sequence[int] = (1, 2, 4, 8),
+                           poses_per_device: int = 2048,
+                           max_iterations: int = 8, reps: int = 3):
+    """Weak-scaling rows for the FLAGSHIP workload: the SPIKE-partitioned
+    chain LM (parallel/sharded_tridiag) at `poses_per_device` poses per
+    device. Per-device work is constant; the interface system grows only
+    as 2·D·t. Reports solve seconds, poses/s, and efficiency vs the
+    smallest mesh (same virtual-device caveat as run_scaling_report)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from rust_robotics_tpu.demos.pose_graph_bench import (
+        rmse,
+        synthesize_chain,
+    )
+    from rust_robotics_tpu.nlls.tridiag import classify_chain_edges
+    from rust_robotics_tpu.parallel.sharded_tridiag import (
+        make_sharded_chain_solver,
+    )
+    from rust_robotics_tpu.slam.pose_graph import (
+        se2_edge_residual,
+        se2_retract,
+    )
+
+    avail = len(jax.devices())
+    rows = []
+    f = jnp.float32
+    for n_dev in sizes:
+        if n_dev > avail:
+            continue
+        n_poses = poses_per_device * n_dev
+        truth, initial, ef, et, meas, info = synthesize_chain(n_poses)
+        (c_meas, c_info, l_ef, l_et, l_meas,
+         l_info) = classify_chain_edges(n_poses, ef, et, meas, info)
+        fixed = jnp.zeros((n_poses,), bool).at[0].set(True)
+        mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("data",))
+        solver = make_sharded_chain_solver(
+            mesh, "data", residual_fn=se2_edge_residual,
+            retract_fn=se2_retract, tdim=3,
+            max_iterations=max_iterations, gradient_tolerance=1e-8,
+            step_tolerance=1e-8, cost_tolerance=1e-16)
+        args = (jnp.asarray(initial, f), jnp.asarray(c_meas, f),
+                jnp.asarray(c_info, f), jnp.asarray(l_ef, jnp.int32),
+                jnp.asarray(l_et, jnp.int32), jnp.asarray(l_meas, f),
+                jnp.asarray(l_info, f), fixed)
+        out, _ = solver(*args)  # compile + settle
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out, _ = solver(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        rows.append({
+            "devices": n_dev,
+            "poses": n_poses,
+            "solve_s": dt,
+            "poses_per_s": n_poses / dt,
+            "poses_per_s_per_device": n_poses / dt / n_dev,
+            "rmse": rmse(np.asarray(out), truth),
+        })
+    if rows:
+        base = rows[0]["poses_per_s_per_device"]
+        for r in rows:
+            r["efficiency"] = r["poses_per_s_per_device"] / base
+    return rows
+
+
 if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1,2,4,8")
     ap.add_argument("--per-device-batch", type=int, default=8)
+    ap.add_argument("--chain", action="store_true",
+                    help="also run the flagship chain weak-scaling sweep")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     rows = run_scaling_report(sizes, args.per_device_batch)
@@ -104,3 +172,10 @@ if __name__ == "__main__":
         print(f"{r['devices']},{r['mesh']},{r['global_batch']},"
               f"{r['step_s']:.6f},{r['items_per_s']:.1f},"
               f"{r['efficiency']:.3f}")
+    if args.chain:
+        rows = run_chain_weak_scaling(sizes)
+        print("devices,poses,solve_s,poses_per_s,rmse,efficiency")
+        for r in rows:
+            print(f"{r['devices']},{r['poses']},{r['solve_s']:.4f},"
+                  f"{r['poses_per_s']:.1f},{r['rmse']:.2e},"
+                  f"{r['efficiency']:.3f}")
