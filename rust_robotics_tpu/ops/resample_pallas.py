@@ -76,6 +76,70 @@ def _resample_kernel(w_ref, u_ref, states_ref, out_states_ref, idx_ref,
     )
 
 
+def _resample_kernel_tiled(w_ref, u_ref, states_ref, out_states_ref,
+                           idx_ref, neff_ref, *, p, t):
+    """Block-tiled variant for P > 1024: the [P, P] comparison/one-hot
+    matrices of the single-tile kernel exceed VMEM past P ~ 1024
+    (P=4096 would need 67 MB); here every intermediate is [T, T] with
+    T = 512 (1 MB) — prefix sum runs chunk-by-chunk with a scalar carry,
+    searchsorted accumulates counts over j-chunks, and the gather matmul
+    accumulates over source chunks. Work stays O(P²) (the dense-algebra
+    trade is inherent); capacity is no longer VMEM-limited."""
+    nt = p // t
+    # chunk layout [nt, T] comes from the HOST-side reshape (Mosaic
+    # rejects 1-D vector slices/concats/reshapes at offsets beyond the
+    # first tile; 2-D row extraction is native)
+    w2 = w_ref[0, :, :]  # [nt, T]
+    total = jnp.sum(w2)
+    wn2 = w2 / total
+    neff_ref[0, 0, :] = (1.0 / jnp.sum(wn2 * wn2)).reshape(1)
+
+    rio = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    cio = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    lower = (rio <= cio).astype(wn2.dtype)
+    # every chunk's internal prefix in ONE [nt,T]x[T,T] matmul, then an
+    # exclusive carry of the chunk totals (nt is tiny — unrolled adds)
+    chunk_prefix = jax.lax.dot_general(
+        wn2, lower, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # [nt, T]
+    chunk_totals = chunk_prefix[:, t - 1]  # [nt]
+    nio = jax.lax.broadcasted_iota(jnp.int32, (nt, nt), 0)
+    njo = jax.lax.broadcasted_iota(jnp.int32, (nt, nt), 1)
+    strict_lower = (njo < nio).astype(jnp.float32)  # carry[i] = sum_{j<i}
+    carries = jnp.sum(strict_lower * chunk_totals[None, :], axis=1)
+    cum2 = chunk_prefix + carries[:, None]  # [nt, T]
+    grand = cum2[nt - 1, t - 1]
+    cum2 = cum2 / grand  # round-off guard (particle.py parity)
+
+    u = u_ref[0, 0, :]
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (t,), 0).astype(w2.dtype)
+    kio_base = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    d = states_ref.shape[1]
+
+    for ci in range(nt):
+        pos_i = (iota_t + (ci * t) + u) / p
+        cnt = jnp.zeros((t,), jnp.float32)
+        for cj in range(nt):
+            less = (cum2[cj][None, :] < pos_i[:, None]).astype(jnp.float32)
+            cnt = cnt + jnp.sum(less, axis=1)
+        idx_i = jnp.clip(cnt.astype(jnp.int32), 0, p - 1)
+        idx_ref[0, ci, :] = idx_i
+        acc = jnp.zeros((d, t), states_ref.dtype)
+        for ck in range(nt):
+            onehot = (kio_base + ck * t == idx_i[:, None]).astype(
+                states_ref.dtype)  # [T_i, T_k]
+            acc = acc + jax.lax.dot_general(
+                states_ref[0, :, ck, :], onehot,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=states_ref.dtype,
+            )
+        out_states_ref[0, :, ci, :] = acc
+
+
+_TILE_P = 512  # chunk size of the tiled kernel (P > 1024 dispatch)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def systematic_resample_gather(weights, u, states, interpret=None):
     """Fused systematic resampling for B independent particle filters.
@@ -84,12 +148,53 @@ def systematic_resample_gather(weights, u, states, interpret=None):
     [0, 1), states [B, D, P]. Returns (new_states [B, D, P],
     parent_idx [B, P] int32, neff [B]). `interpret=None` auto-selects
     interpreter mode on CPU backends (tests) and compiled mode on TPU.
+    P <= 1024 runs the single-tile kernel; larger P (multiple of 512)
+    dispatches to the block-tiled kernel (same semantics, VMEM-bounded).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
     b, p = weights.shape
     d = states.shape[1]
+    if p > 1024:
+        if p % _TILE_P:
+            raise ValueError(
+                f"tiled resample needs P % {_TILE_P} == 0, got {p}")
+        t = _TILE_P
+        nt = p // t
+        kernel = functools.partial(_resample_kernel_tiled, p=p, t=t)
+        # host-side chunk layout [.., nt, T]: Mosaic has no in-kernel
+        # 1-D reshape/slice past the first tile
+        new_states, idx, neff = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, nt, t), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d, nt, t), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, d, nt, t), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nt, t), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, d, nt, t), states.dtype),
+                jax.ShapeDtypeStruct((b, nt, t), jnp.int32),
+                jax.ShapeDtypeStruct((b, 1, 1), weights.dtype),
+            ),
+            interpret=interpret,
+        )(weights.reshape(b, nt, t), u[:, None, None],
+          states.reshape(b, d, nt, t))
+        return (new_states.reshape(b, d, p), idx.reshape(b, p),
+                neff[:, 0, 0])
+
     kernel = functools.partial(_resample_kernel, p=p)
     lane3 = lambda rows: pl.BlockSpec((1, rows, p), lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM)

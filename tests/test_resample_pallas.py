@@ -101,3 +101,42 @@ def test_resample_if_needed_pallas_matches_reference_path():
         src = {tuple(np.round(row, 5)) for row in np.asarray(states[bi])}
         for row in np.asarray(out.states[bi]):
             assert tuple(np.round(row, 5)) in src
+
+
+def test_tiled_kernel_p4096_matches_reference():
+    """P > 1024 dispatches to the block-tiled kernel (VERDICT r3 #5: the
+    single-tile [P, P] design is VMEM-capped at ~1024); exact index
+    parity at P=4096 in interpret mode."""
+    w, u, s = _case(jax.random.PRNGKey(7), b=2, p=4096, d=4, skew=3.0)
+    ns_k, idx_k, neff_k = systematic_resample_gather(w, u, s,
+                                                     interpret=True)
+    ns_r, idx_r, neff_r = resample_reference(w, u, s)
+    np.testing.assert_array_equal(np.asarray(idx_k), np.asarray(idx_r))
+    np.testing.assert_allclose(np.asarray(ns_k), np.asarray(ns_r),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(neff_k), np.asarray(neff_r),
+                               rtol=1e-5)
+
+
+def test_tiled_kernel_p2048_degenerate_weights():
+    """Tiled path with all mass in one particle: every draw maps there."""
+    b, p, d = 2, 2048, 3
+    w = jnp.full((b, p), 1e-8).at[:, 777].set(1.0)
+    u = jnp.array([0.25, 0.75], jnp.float32)
+    s = jax.random.normal(jax.random.PRNGKey(1), (b, d, p), jnp.float32)
+    ns, idx, neff = systematic_resample_gather(w, u, s, interpret=True)
+    assert np.all(np.asarray(idx) == 777)
+    np.testing.assert_allclose(np.asarray(ns),
+                               np.broadcast_to(
+                                   np.asarray(s[:, :, 777])[:, :, None],
+                                   (b, d, p)), atol=1e-6)
+
+
+def test_tiled_kernel_rejects_non_multiple():
+    w, u, s = _case(jax.random.PRNGKey(2), b=1, p=1280, d=2)
+    try:
+        systematic_resample_gather(w, u, s, interpret=True)
+    except ValueError as e:
+        assert "512" in str(e)
+    else:
+        raise AssertionError("expected ValueError for P=1280")
