@@ -1,0 +1,94 @@
+"""Interactive playground artifact (docs/playground/) — the analog of
+the reference's egui/wasm five-tab app with URL-state sharing
+(crates/rust_robotics_playground/src/app.rs:10-16, src/share.rs)."""
+
+import itertools
+import json
+import os
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PLAYGROUND = os.path.join(ROOT, "docs", "playground")
+
+TABS = ["grid_planners", "localization", "slam", "admm_formation",
+        "controller_arena"]
+
+
+def _data():
+    with open(os.path.join(PLAYGROUND, "data.json")) as f:
+        return json.load(f)
+
+
+def test_artifact_checked_in():
+    assert os.path.exists(os.path.join(PLAYGROUND, "index.html"))
+    assert os.path.exists(os.path.join(PLAYGROUND, "data.json"))
+
+
+def test_all_five_tabs_with_complete_sweeps():
+    """Every tab family of the reference app is present and every
+    parameter combination has a precomputed run (the page's runKey
+    scheme joins the param values with '|')."""
+    d = _data()
+    assert sorted(d) == sorted(TABS)
+    for tab in TABS:
+        spec = d[tab]["params"]
+        assert spec, tab
+        combos = ["|".join(map(str, c))
+                  for c in itertools.product(*spec.values())]
+        missing = [c for c in combos if c not in d[tab]["runs"]]
+        assert not missing, (tab, missing)
+
+
+def test_page_has_url_state_sharing_and_tabs():
+    """share.rs analog: slider state round-trips through the URL query
+    string; all five tab buttons exist."""
+    with open(os.path.join(PLAYGROUND, "index.html")) as f:
+        page = f.read()
+    assert "URLSearchParams" in page
+    assert "history.replaceState" in page  # write state -> URL
+    assert "copy share link" in page
+    for label in ("GridPlanners", "Localization", "Slam", "AdmmFormation",
+                  "ControllerArena"):
+        assert label in page, label
+    # the page reads the checked-in sweep, not a server
+    assert "data.json" in page
+
+
+def test_playground_runs_have_semantic_content():
+    d = _data()
+    g = d["grid_planners"]
+    # every grid run reaches the goal
+    for key, run in g["runs"].items():
+        assert run["reached"], key
+        assert run["cost"] > 0
+    # localization: larger measurement noise -> larger RMSE (fixed q)
+    loc = d["localization"]["runs"]
+    assert loc["0.1|1.0"]["rmse"] < loc["1.0|1.0"]["rmse"]
+    # slam: loop closures reduce RMSE at every noise level
+    sl = d["slam"]["runs"]
+    for noise in d["slam"]["params"]["odom_noise"]:
+        assert sl[f"{noise}|1"]["rmse"] <= sl[f"{noise}|0"]["rmse"] + 1e-9
+    # admm: more smoothing weight -> lower rms accel (rho=1.0)
+    ad = d["admm_formation"]["runs"]
+    assert ad["1.0|40.0"]["rms_accel"] < ad["1.0|0.0"]["rms_accel"]
+    # arena: every controller makes forward progress
+    for key, run in d["controller_arena"]["runs"].items():
+        assert run["progress"] > 30.0, key
+
+
+@pytest.mark.slow
+def test_generator_reproduces_key_structure(tmp_path):
+    """Regenerating the artifact yields the same tabs/params/run keys as
+    the checked-in one (values are deterministic CPU f64 but only the
+    structure is pinned — float formatting may drift across versions)."""
+    from rust_robotics_tpu.demos.playground import main
+
+    out = main(str(tmp_path))
+    with open(os.path.join(out, "data.json")) as f:
+        fresh = json.load(f)
+    ref = _data()
+    assert sorted(fresh) == sorted(ref)
+    for tab in TABS:
+        assert fresh[tab]["params"] == ref[tab]["params"], tab
+        assert sorted(fresh[tab]["runs"]) == sorted(ref[tab]["runs"]), tab
