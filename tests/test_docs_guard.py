@@ -85,3 +85,47 @@ def test_benchmarks_doc_count_matches_registry():
     text = open(path).read()
     m = re.search(r"\((\d+) entries", text)
     assert m and int(m.group(1)) == len(PINNED), (m, len(PINNED))
+
+
+def test_marquee_number_pinned_to_latest_bench_capture():
+    """VERDICT r3 #9: ONE protocol for the marquee 10k-pose number. The
+    PERF.md headline must quote the bench.py capture; this pins the doc
+    claim against the latest BENCH_r{N}.json within ±25% (covers honest
+    run-to-run spread, catches protocol drift and stale docs)."""
+    import glob
+    import json
+
+    benches = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    if not benches:
+        pytest.skip("no BENCH capture present")
+    with open(benches[-1]) as f:
+        bench = json.load(f)
+    # driver wraps the bench line under "parsed"
+    bench = bench.get("parsed", bench) or {}
+    extras = bench.get("extras", bench)
+    pg = extras.get("pose_graph_10k")
+    if not pg:
+        pytest.skip("latest BENCH capture has no pose_graph_10k extra")
+    captured = float(pg["seconds"])
+
+    with open(os.path.join(ROOT, "docs", "PERF.md")) as f:
+        perf = f.read()
+    m = re.search(
+        r"10k-pose graph, device-resident chain_direct \(TPU f32\)\*?\*?"
+        r"\s*\|\s*\*?\*?([0-9.]+) s warm", perf)
+    assert m, "PERF.md headline row for the 10k chain solve not found"
+    claimed = float(m.group(1))
+    assert abs(claimed - captured) <= 0.25 * max(captured, 1e-9), (
+        f"PERF.md claims {claimed} s but the latest BENCH capture "
+        f"({os.path.basename(benches[-1])}) recorded {captured:.3f} s — "
+        f"requote the docs from the bench protocol")
+
+    # README quotes the same single number
+    with open(os.path.join(ROOT, "README.md")) as f:
+        readme = f.read()
+    m2 = re.search(
+        r"10k-pose graph, device-resident chain solver, TPU f32\*?\*? \| "
+        r"\*?\*?([0-9.]+) s", readme)
+    assert m2, "README.md 10k chain row not found"
+    assert float(m2.group(1)) == claimed, (
+        "README and PERF.md quote different marquee numbers")
