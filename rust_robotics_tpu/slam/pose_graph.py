@@ -264,7 +264,23 @@ def optimize_pose_graph_3d(pose_tangents, edges_from, edges_to,
 
     linear_solver="chain_direct": device-resident LM with the
     cyclic-reduction tridiagonal solve on 6×6 blocks (nlls/tridiag.py) —
-    odometry chain + loop closures, same routing as the SE(2) path."""
+    odometry chain + loop closures, same routing as the SE(2) path.
+    "banded_direct" / "direct" route arbitrary topologies exactly as the
+    SE(2) path (nlls/banded.py on 6-dof tangents)."""
+    if linear_solver == "direct":
+        import numpy as _np
+        ef_np = _np.asarray(edges_from)
+        et_np = _np.asarray(edges_to)
+        consec = _np.zeros(
+            _np.asarray(pose_tangents).shape[0] - 1, bool)
+        mask = et_np == ef_np + 1
+        consec[ef_np[mask]] = True
+        linear_solver = "chain_direct" if consec.all() else "banded_direct"
+    if linear_solver == "banded_direct":
+        return _optimize_banded_direct(pose_tangents, edges_from, edges_to,
+                                       measurement_tangents, information,
+                                       max_iterations, tolerance,
+                                       se3_edge_residual, se3_retract, 6)
     if linear_solver == "chain_direct":
         from rust_robotics_tpu.nlls.solver import SolverSummary
         from rust_robotics_tpu.nlls.tridiag import (

@@ -163,3 +163,38 @@ def test_grid_10k_banded_beats_reference_quality():
     assert iters >= 3
     if os.environ.get("RRT_ASSERT_WALL_CLOCK") == "1":
         assert seconds < 8.62, (seconds, err)
+
+
+def test_banded_direct_se3_via_pose_graph_api():
+    """optimize_pose_graph_3d routes 'direct'/'banded_direct' exactly as
+    the SE(2) path; a non-chain SE(3) graph converges to the dense
+    solution."""
+    from rust_robotics_tpu.core.lie import se3_exp, se3_log
+    from rust_robotics_tpu.slam.pose_graph import optimize_pose_graph_3d
+
+    n = 12
+    rng = np.random.default_rng(9)
+    truth = np.stack([
+        np.concatenate([[0.4 * k, 0.2 * np.cos(k), 0.0],
+                        0.03 * np.sin([0.5 * k, 0.9 * k, 1.3 * k])])
+        for k in range(n)])
+    # NON-chain: star edges from node 0 + ring — no (i,i+1) chain at all
+    ef = [0] * (n - 1) + [1, 5]
+    et = list(range(1, n)) + [6, 11]
+    meas = []
+    for a, b in zip(ef, et):
+        za = se3_exp(jnp.asarray(truth[a]))
+        zb = se3_exp(jnp.asarray(truth[b]))
+        meas.append(np.asarray(se3_log(jnp.linalg.inv(za) @ zb)))
+    meas = np.stack(meas)
+    initial = truth + rng.normal(0, 0.02, truth.shape)
+    initial[0] = truth[0]
+
+    dense, _ = optimize_pose_graph_3d(
+        jnp.asarray(initial), ef, et, jnp.asarray(meas),
+        max_iterations=20, tolerance=1e-9, linear_solver="dense")
+    band, summ = optimize_pose_graph_3d(
+        jnp.asarray(initial), ef, et, jnp.asarray(meas),
+        max_iterations=20, tolerance=1e-9, linear_solver="direct")
+    np.testing.assert_allclose(np.asarray(band), np.asarray(dense),
+                               atol=1e-6)
