@@ -198,3 +198,65 @@ def test_banded_direct_se3_via_pose_graph_api():
         max_iterations=20, tolerance=1e-9, linear_solver="direct")
     np.testing.assert_allclose(np.asarray(band), np.asarray(dense),
                                atol=1e-6)
+
+
+def test_manhattan_world_g2o_through_banded_solver():
+    """A Manhattan-world pose graph (the g2o classic shape the reference
+    community benchmarks on: axis-aligned odometry with turns + lattice
+    loop closures) round-trips through the repo's own g2o text I/O and
+    solves via the 'direct' routing (banded — the snake path plus
+    lattice closures make it band-structured, not a pure chain after
+    classification demotes parallels). Quality gate: optimized RMSE far
+    under the initial drift."""
+    from rust_robotics_tpu.demos.pose_graph_bench import relative
+    from rust_robotics_tpu.slam.g2o import parse_g2o, se2_arrays, write_g2o
+    from rust_robotics_tpu.slam.g2o import G2oGraph
+
+    # synthesize a 12x12 Manhattan block world: snake path visiting grid
+    # corners + closures between revisited street intersections
+    w = 12
+    truth = []
+    for r in range(w):
+        cols = range(w) if r % 2 == 0 else range(w - 1, -1, -1)
+        for c in cols:
+            heading = 0.0 if r % 2 == 0 else np.pi
+            truth.append([float(c), float(r), heading])
+    truth = np.asarray(truth)
+    n = truth.shape[0]
+    ef = list(range(n - 1))
+    et = list(range(1, n))
+    infos = [np.eye(3) * 100.0] * (n - 1)
+    # lattice closures: same street intersection on adjacent rows
+    pos_of = {(round(truth[i, 0]), round(truth[i, 1])): i
+              for i in range(n)}
+    for r in range(w - 1):
+        for c in (0, w // 2, w - 1):
+            a, b = pos_of[(c, r)], pos_of[(c, r + 1)]
+            ef.append(min(a, b))
+            et.append(max(a, b))
+            infos.append(np.eye(3) * 20.0)
+    meas = [relative(truth[a], truth[b]) for a, b in zip(ef, et)]
+
+    g = G2oGraph(
+        vertices_se2={i: list(truth[i]) for i in range(n)},
+        edges_se2=[(a, b, list(m), i3)
+                   for a, b, m, i3 in zip(ef, et, meas, infos)],
+        vertices_se3={}, edges_se3=[])
+    # perturb the stored vertices (the file carries the noisy initial)
+    rng = np.random.default_rng(2)
+    for i in range(1, n):
+        g.vertices_se2[i] = list(truth[i] + rng.normal(0, 0.05, 3))
+
+    text = write_g2o(g)
+    poses0, pef, pet, pmeas, pinfo = se2_arrays(parse_g2o(text))
+    init_rmse = rmse(poses0, truth)
+    assert init_rmse > 0.03
+
+    poses, summ = optimize_pose_graph_2d(
+        jnp.asarray(poses0), pef, pet, jnp.asarray(pmeas),
+        jnp.asarray(pinfo), max_iterations=25, tolerance=1e-9,
+        linear_solver="direct")
+    final = rmse(np.asarray(poses), truth)
+    assert final < 1e-6, (init_rmse, final)
+    assert summ.termination in ("gradient_converged", "cost_converged",
+                                "step_converged")
