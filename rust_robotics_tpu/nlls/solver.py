@@ -52,8 +52,11 @@ class SolverConfig:
     pcg_max_iterations: int = 200
     pcg_tolerance: float = 1e-10
     # reduced (retained) system factorization for the Schur path:
-    # "auto" = Pallas blocked Cholesky on TPU for n ≥ 256 (VMEM-resident,
-    # MXU trailing updates — ops/cholesky_pallas.py), XLA dense otherwise
+    # "auto" = Pallas blocked Cholesky on TPU for n ≥ 1024 (VMEM-resident,
+    # MXU trailing updates — ops/cholesky_pallas.py), XLA dense otherwise.
+    # Threshold from the round-4 dependent-loop measurement (50 solves in
+    # one fori_loop, dispatch floor eliminated): XLA wins ≤512, parity at
+    # ~1280, Pallas 1.2-1.6x faster at 1024-3072 (docs/PERF.md).
     reduced_solver: str = "auto"  # "auto" | "pallas_chol" | "dense"
 
 
@@ -389,7 +392,7 @@ def _reduced_solve(s, rhs, reduced_solver):
     """Retained-system solve for the Schur path."""
     use_pallas = reduced_solver == "pallas_chol" or (
         reduced_solver == "auto"
-        and s.shape[0] >= 256
+        and s.shape[0] >= 1024
         and s.dtype == jnp.float32
         and jax.devices()[0].platform not in ("cpu",)
     )
