@@ -100,10 +100,12 @@ class CRFactor(NamedTuple):
 _TAIL_M = 512  # active length at which the unrolled ladder hands to the scan
 
 # Memory budget for one Woodbury edge chunk's ladder solve (RHS + per-level
-# forward storage, sublane-padded). Tests shrink this to force the
-# multi-chunk path on small problems; solve_chain_lm reads it at TRACE time
-# (call solve_chain_lm.clear_cache() after changing it).
-WOODBURY_CHUNK_BYTES = 3 * 512 * 1024 * 1024
+# forward storage, sublane-padded; the sizing formula is ~2x conservative
+# vs the arrays actually alive, so peak usage stays near half of this).
+# Tests shrink this to force the multi-chunk path on small problems;
+# solve_chain_lm reads it at TRACE time (call
+# solve_chain_lm.clear_cache() after changing it).
+WOODBURY_CHUNK_BYTES = 9 * 512 * 1024 * 1024
 
 
 def _to_soa(x):

@@ -129,3 +129,32 @@ def test_marquee_number_pinned_to_latest_bench_capture():
     assert m2, "README.md 10k chain row not found"
     assert float(m2.group(1)) == claimed, (
         "README and PERF.md quote different marquee numbers")
+
+
+def test_grid_headline_pinned_to_latest_bench_capture():
+    """Same single-protocol rule for the non-chain grid headline (round-4
+    addition): once a BENCH capture carries pose_graph_grid_10k, PERF.md
+    must quote it within ±25%."""
+    import glob
+    import json
+
+    benches = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    if not benches:
+        pytest.skip("no BENCH capture present")
+    with open(benches[-1]) as f:
+        bench = json.load(f)
+    bench = bench.get("parsed", bench) or {}
+    extras = bench.get("extras", bench)
+    pg = extras.get("pose_graph_grid_10k")
+    if not pg:
+        pytest.skip("latest BENCH capture predates the grid benchmark")
+    captured = float(pg["seconds"])
+    with open(os.path.join(ROOT, "docs", "PERF.md")) as f:
+        perf = f.read()
+    m = re.search(
+        r"10k-pose NON-chain grid graph, banded_direct \(TPU f32\)\*?\*?"
+        r"\s*\|\s*\*?\*?([0-9.]+) s warm", perf)
+    assert m, "PERF.md headline row for the grid solve not found"
+    claimed = float(m.group(1))
+    assert abs(claimed - captured) <= 0.25 * max(captured, 1e-9), (
+        claimed, captured)
