@@ -28,6 +28,7 @@ p.sub {{ color: #555; }}
 .tile figcaption {{ font-size: .85rem; color: #333; margin-top: .4rem; font-family: monospace; }}
 </style></head><body>
 <h1>rust_robotics_tpu — demo gallery</h1>
+<p><a href="../playground/index.html">→ interactive playground (five tabs, shareable URL state)</a></p>
 <p class="sub">Deterministic closed-loop sims rendered by the software
 rasterizer (viz/raster.py). Each tile is the TPU-native analog of the
 reference example of the same name

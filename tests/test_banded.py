@@ -260,3 +260,41 @@ def test_manhattan_world_g2o_through_banded_solver():
     assert final < 1e-6, (init_rmse, final)
     assert summ.termination in ("gradient_converged", "cost_converged",
                                 "step_converged")
+
+
+def test_banded_random_sparse_graph():
+    """Robustness on an IRREGULAR topology (random spanning tree + random
+    extra edges — no grid/chain structure at all): RCM may find a large
+    band, the supernode cap may collapse everything into one fat block
+    (a dense solve), and leftover edges ride the Woodbury side; the
+    solution must still match the dense LM oracle."""
+    from rust_robotics_tpu.demos.pose_graph_bench import relative
+
+    rng = np.random.default_rng(11)
+    n = 120
+    truth = np.stack([rng.uniform(-10, 10, n), rng.uniform(-10, 10, n),
+                      rng.uniform(-np.pi, np.pi, n)], -1)
+    # random spanning tree: connect node i to a random earlier node
+    ef = [int(rng.integers(0, i)) for i in range(1, n)]
+    et = list(range(1, n))
+    # plus random extra edges
+    for _ in range(40):
+        a, b = sorted(rng.choice(n, 2, replace=False).tolist())
+        ef.append(a)
+        et.append(b)
+    meas = np.stack([relative(truth[a], truth[b])
+                     for a, b in zip(ef, et)])
+    info = np.stack([np.eye(3) * 50.0] * len(ef))
+    initial = truth + rng.normal(0, 0.03, truth.shape)
+    initial[0] = truth[0]
+
+    args = (jnp.asarray(initial), np.asarray(ef, np.int32),
+            np.asarray(et, np.int32), jnp.asarray(meas),
+            jnp.asarray(info))
+    dense, _ = optimize_pose_graph_2d(
+        *args, max_iterations=30, tolerance=1e-10, linear_solver="dense")
+    band, _ = optimize_pose_graph_2d(
+        *args, max_iterations=30, tolerance=1e-10,
+        linear_solver="banded_direct")
+    np.testing.assert_allclose(np.asarray(band), np.asarray(dense),
+                               atol=1e-6)
