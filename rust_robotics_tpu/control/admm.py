@@ -119,8 +119,15 @@ def solve_horizon_consensus(goal_trajs, anchor=None, smooth_weight=0.0,
     else:
         smooth = jnp.zeros((horizon, horizon), f)
     a_mat = jnp.eye(horizon, dtype=f) * (rho * n_agents) + smooth
-    anchored = anchor is not None and horizon > 1
-    if anchored:
+    anchored = anchor is not None
+    if anchored and horizon == 1:
+        # the whole trajectory IS the anchored step (the reference's
+        # m == 0 reduced-system case, admm_consensus.rs:582)
+        anchor = jnp.asarray(anchor, f)
+
+        def z_update(x, u):
+            return anchor[None, :]
+    elif anchored:
         anchor = jnp.asarray(anchor, f)
         # reduced system over the free steps 1..H; the anchored z_0 column
         # moves to the RHS (admm_consensus.rs:568-581)

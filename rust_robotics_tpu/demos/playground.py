@@ -108,8 +108,8 @@ def _grid_planners_tab():
         "goal": list(goal),
         "maps": {k: [''.join('1' if c else '0' for c in row)
                      for row in v] for k, v in maps.items()},
-        "params": {"map": list(maps), "connectivity": [4, 8],
-                   "inflation": [0, 1]},
+        "params": {"map": list(maps), "connectivity": ["4", "8"],
+                   "inflation": ["0", "1"]},
         "runs": runs,
     }
 
@@ -173,7 +173,8 @@ def _localization_tab(steps=240):
             }
     return {
         "truth": np.round(truth[::4, :2], 3).tolist(),
-        "params": {"meas_sigma": meas_sigmas, "q_scale": q_scales},
+        "params": {"meas_sigma": [str(v) for v in meas_sigmas],
+                   "q_scale": [str(v) for v in q_scales]},
         "runs": runs,
     }
 
@@ -227,7 +228,8 @@ def _slam_tab(n=72):
             }
     return {
         "truth": np.round(truth[:, :2], 3).tolist(),
-        "params": {"odom_noise": noise_levels, "closures": [0, 1]},
+        "params": {"odom_noise": [str(v) for v in noise_levels],
+                   "closures": ["0", "1"]},
         "runs": runs,
     }
 
@@ -283,7 +285,8 @@ def _admm_tab():
     return {
         "goalpath": np.round(np.stack(
             [goal(c) for c in range(cycles + 1)]), 4).tolist(),
-        "params": {"rho": rhos, "smooth_weight": lams},
+        "params": {"rho": [str(v) for v in rhos],
+                   "smooth_weight": [str(v) for v in lams]},
         "runs": runs,
     }
 
@@ -357,7 +360,7 @@ def _arena_tab(steps=500):
     return {
         "course": np.round(np.stack([xs, ys], -1)[::6], 3).tolist(),
         "params": {"controller": ["pure_pursuit", "stanley", "lqr_steer"],
-                   "target_speed": speeds},
+                   "target_speed": [str(v) for v in speeds]},
         "runs": runs,
     }
 

@@ -47,6 +47,7 @@ from rust_robotics_tpu.nlls.tridiag import (
     ChainSummary,
     block_tridiag_apply,
     block_tridiag_factor,
+    build_w_inv,
     inv_spd,
 )
 
@@ -291,14 +292,7 @@ def solve_banded_lm(
         return cost
 
     if num_l:
-        w_inv_blocks = (jnp.broadcast_to(jnp.eye(rdim, dtype=f_),
-                                         (num_l, rdim, rdim))
-                        if loop_info is None else inv_spd(loop_info))
-        w_inv = jnp.zeros((k_w, k_w), f_)
-        el3 = jnp.arange(num_l)[:, None, None]
-        ri = jnp.arange(rdim)
-        w_inv = w_inv.at[el3 * rdim + ri[None, :, None],
-                         el3 * rdim + ri[None, None, :]].set(w_inv_blocks)
+        w_inv = build_w_inv(loop_info, num_l, rdim, f_)
         sn_lf = loop_from // s
         l_lf = loop_from % s
         sn_lt = loop_to // s

@@ -261,15 +261,12 @@ def pose_graph_implicit_vjp(poses_solution, edges_from, edges_to,
         None if loop_info is None else jnp.asarray(loop_info, f),
         fixed, loss_fn, residual_fn=se2_edge_residual,
         retract_fn=se2_retract, tdim=3)
-    # scatter chain/loop gradients back to the original edge order
+    # scatter chain/loop gradients back to the original edge order with
+    # the SAME partition the forward classification used
+    from rust_robotics_tpu.nlls.tridiag import chain_edge_partition
+
+    first_idx, is_chain = chain_edge_partition(n, ef, et)
     d_all = np.zeros_like(meas)
-    consecutive = et == ef + 1
-    first_idx = np.full(n - 1, -1, dtype=np.int64)
-    for e in np.nonzero(consecutive)[0]:
-        if first_idx[ef[e]] < 0:
-            first_idx[ef[e]] = e
-    is_chain = np.zeros(len(ef), dtype=bool)
-    is_chain[first_idx] = True
     d_all[first_idx] = np.asarray(d_chain)
     d_all[~is_chain] = np.asarray(d_loop)
     return loss, d_all

@@ -287,33 +287,6 @@ def block_tridiag_solve(diag, upper, rhs):
     return block_tridiag_apply(block_tridiag_factor(diag, upper), rhs)
 
 
-def apply_columns_chunked(factor: CRFactor, u, max_bytes=256 * 1024 * 1024):
-    """T⁻¹U for a wide column block U [n, t, K], streamed in column
-    chunks so the forward scan's per-level RHS storage ([L, m/2, t, cols]
-    — the 100k-pose Woodbury memory cliff, VERDICT r3 #6) stays under
-    `max_bytes`. Chunk count is static (trace-time); `lax.map` keeps one
-    chunk's ladder live at a time."""
-    n, t, k = u.shape
-    if k == 0:
-        return u
-    # forward-pass RHS storage rows: unrolled levels + scanned tail stack
-    top_rows = sum(lvl[0].shape[0] for lvl in factor.top)
-    tail_rows = factor.tail[0].shape[0] * max(factor.tail[0].shape[-1], 1)
-    per_col = (top_rows + tail_rows) * t * u.dtype.itemsize
-    if per_col == 0:
-        return block_tridiag_apply(factor, u)
-    cs = int(max(1, min(k, max_bytes // max(per_col, 1))))
-    if cs >= k:
-        return block_tridiag_apply(factor, u)
-    nc = -(-k // cs)
-    pad = nc * cs - k
-    up = jnp.pad(u, ((0, 0), (0, 0), (0, pad))) if pad else u
-    uc = jnp.moveaxis(up.reshape(n, t, nc, cs), 2, 0)  # [nc, n, t, cs]
-    yc = jax.lax.map(lambda z: block_tridiag_apply(factor, z), uc)
-    y = jnp.moveaxis(yc, 0, 2).reshape(n, t, nc * cs)
-    return y[..., :k]
-
-
 def chain_linearize(values, chain_meas, chain_info, loop_from, loop_to,
                     loop_meas, loop_info, fixed, *, residual_fn,
                     retract_fn, tdim):
@@ -635,6 +608,44 @@ def solve_chain_lm(
     return values, ChainSummary(cost0, cost, it, accepted, term)
 
 
+def chain_edge_partition(n, edges_from, edges_to):
+    """The (first_idx [n-1], is_chain [E]) partition behind
+    classify_chain_edges: the first (i, i+1) edge per consecutive pair
+    becomes the tridiagonal entry, everything else is a loop edge.
+    Raises when a consecutive pair has no edge. Shared with
+    implicit.pose_graph_implicit_vjp so the gradient scatter can never
+    desynchronize from the forward classification."""
+    import numpy as np
+
+    ef = np.asarray(edges_from)
+    et = np.asarray(edges_to)
+    consecutive = et == ef + 1
+    first_idx = np.full(n - 1, -1, dtype=np.int64)
+    for e in np.nonzero(consecutive)[0]:
+        if first_idx[ef[e]] < 0:
+            first_idx[ef[e]] = e
+    if np.any(first_idx < 0):
+        raise ValueError("chain_direct requires at least one (i, i+1) "
+                         "edge per consecutive pair")
+    is_chain = np.zeros(len(ef), dtype=bool)
+    is_chain[first_idx] = True
+    return first_idx, is_chain
+
+
+def has_full_chain(n, edges_from, edges_to):
+    """True when every consecutive (i, i+1) pair has an edge — the
+    'direct' auto-routing predicate (chain_direct vs banded_direct),
+    shared by the SE(2)/SE(3) pose-graph entry points."""
+    import numpy as np
+
+    ef = np.asarray(edges_from)
+    et = np.asarray(edges_to)
+    consec = np.zeros(max(n - 1, 0), bool)
+    mask = et == ef + 1
+    consec[ef[mask]] = True
+    return bool(consec.all())
+
+
 def classify_chain_edges(n, edges_from, edges_to, measurements,
                          information=None):
     """Split an edge list into the chain part (i -> i+1, reordered into
@@ -653,18 +664,7 @@ def classify_chain_edges(n, edges_from, edges_to, measurements,
     et = np.asarray(edges_to)
     meas = np.asarray(measurements)
     info = None if information is None else np.asarray(information)
-    consecutive = et == ef + 1
-    # first consecutive edge per i becomes the tridiagonal entry;
-    # duplicates are demoted to the Woodbury correction
-    first_idx = np.full(n - 1, -1, dtype=np.int64)
-    for e in np.nonzero(consecutive)[0]:
-        if first_idx[ef[e]] < 0:
-            first_idx[ef[e]] = e
-    if np.any(first_idx < 0):
-        raise ValueError("chain_direct requires at least one (i, i+1) "
-                         "edge per consecutive pair")
-    is_chain = np.zeros(len(ef), dtype=bool)
-    is_chain[first_idx] = True
+    first_idx, is_chain = chain_edge_partition(n, ef, et)
     chain_meas = meas[first_idx]
     chain_info = None if info is None else info[first_idx]
     loop = ~is_chain

@@ -158,41 +158,10 @@ def make_sharded_chain_solver(
     """
     num_devices = mesh.shape[axis]
 
-    def solve(values0, chain_meas, chain_info, loop_from, loop_to,
-              loop_meas, loop_info, fixed_mask):
-        n, dim = values0.shape
-        rdim = chain_meas.shape[-1]
-        f_ = values0.dtype
-        num_l = int(loop_from.shape[0])
+    run_cache = {}
+
+    def _make_run(n_pad, dim, rdim, num_l, f_):
         k_w = num_l * rdim
-
-        # pad nodes to D*m_loc (pad nodes fixed, pad edges zero-info)
-        m_loc = -(-n // num_devices)
-        n_pad = m_loc * num_devices
-        pad_n = n_pad - n
-        e_pad = n_pad - 1 - chain_meas.shape[0]
-        values_p = jnp.concatenate(
-            [values0, jnp.zeros((pad_n, dim), f_)], 0) if pad_n else values0
-        meas_p = jnp.concatenate(
-            [chain_meas, jnp.zeros((e_pad, rdim), f_)], 0) \
-            if e_pad else chain_meas
-        info_p = jnp.concatenate(
-            [chain_info, jnp.zeros((e_pad, rdim, rdim), f_)], 0) \
-            if e_pad else chain_info
-        fixed_p = jnp.concatenate(
-            [fixed_mask, jnp.ones((pad_n,), bool)], 0) \
-            if pad_n else fixed_mask
-        # edge arrays to n_pad length: device d owns edges
-        # [d*m, d*m + m) — the LAST device's last edge is pure padding
-        meas_p = jnp.concatenate(
-            [meas_p, jnp.zeros((1, rdim), f_)], 0)
-        info_p = jnp.concatenate(
-            [info_p, jnp.zeros((1, rdim, rdim), f_)], 0)
-
-        if num_l:
-            w_inv = build_w_inv(loop_info, num_l, rdim, f_)
-        else:
-            w_inv = jnp.zeros((0, 0), f_)
 
         @functools.partial(
             jax.shard_map, mesh=mesh,
@@ -350,9 +319,8 @@ def make_sharded_chain_solver(
                                              c_right, rhs, axis,
                                              num_devices)
 
-                y0 = t_solve(-grad[..., None])[..., 0]
                 if jac_loop is None:
-                    return y0
+                    return t_solve(-grad[..., None])[..., 0]
                 ji_l, jj_l = jac_loop
 
                 def ut_apply(z_l):
@@ -386,7 +354,12 @@ def make_sharded_chain_solver(
                 rhs_u = rhs_u.at[
                     jnp.clip(ltl, 0, m - 1)[:, None], :, cols].add(
                     jnp.where(ok_t[:, None, None], jj_l, 0.0))
-                yu = t_solve(rhs_u)
+                # ONE spike solve for [-grad | U]: the factorization,
+                # interface all_gather and replicated solve are shared
+                sol = t_solve(jnp.concatenate(
+                    [-grad[..., None], rhs_u], axis=-1))
+                y0 = sol[..., 0]
+                yu = sol[..., 1:]
                 s_cap = w_inv + ut_apply(yu)
                 rhs_c = ut_apply(y0[..., None])[:, 0]
                 coef = jnp.linalg.solve(s_cap, rhs_c)
@@ -452,6 +425,15 @@ def make_sharded_chain_solver(
                                  term.astype(f_)])
             return values_l, summary
 
+        return jax.jit(run)
+
+    def solve(values0, chain_meas, chain_info, loop_from, loop_to,
+              loop_meas, loop_info, fixed_mask):
+        n, dim = values0.shape
+        rdim = chain_meas.shape[-1]
+        f_ = values0.dtype
+        num_l = int(loop_from.shape[0])
+
         if num_l == 0:
             lf = jnp.zeros((0,), jnp.int32)
             lt = jnp.zeros((0,), jnp.int32)
@@ -464,9 +446,45 @@ def make_sharded_chain_solver(
                                       (num_l, rdim, rdim))
                      if loop_info is None else loop_info)
 
+        # pad nodes to D*m_loc (pad nodes fixed, pad edges zero-info)
+        m_loc = -(-n // num_devices)
+        n_pad = m_loc * num_devices
+        pad_n = n_pad - n
+        e_pad = n_pad - 1 - chain_meas.shape[0]
+        values_p = jnp.concatenate(
+            [values0, jnp.zeros((pad_n, dim), f_)], 0) if pad_n else values0
+        meas_p = jnp.concatenate(
+            [chain_meas, jnp.zeros((e_pad, rdim), f_)], 0) \
+            if e_pad else chain_meas
+        info_p = jnp.concatenate(
+            [chain_info, jnp.zeros((e_pad, rdim, rdim), f_)], 0) \
+            if e_pad else chain_info
+        fixed_p = jnp.concatenate(
+            [fixed_mask, jnp.ones((pad_n,), bool)], 0) \
+            if pad_n else fixed_mask
+        # edge arrays to n_pad length: device d owns edges
+        # [d*m, d*m + m) — the LAST device's last edge is pure padding
+        meas_p = jnp.concatenate(
+            [meas_p, jnp.zeros((1, rdim), f_)], 0)
+        info_p = jnp.concatenate(
+            [info_p, jnp.zeros((1, rdim, rdim), f_)], 0)
+
+        if num_l:
+            w_inv = build_w_inv(loop_info, num_l, rdim, f_)
+        else:
+            w_inv = jnp.zeros((0, 0), f_)
+
+        # the sharded program is built + jitted ONCE per shape signature
+        # (review finding: a fresh jax.jit per call re-traced and
+        # recompiled the whole SPIKE while_loop on EVERY solve)
+        key = (n_pad, dim, rdim, num_l, jnp.dtype(f_).name)
+        if key not in run_cache:
+            run_cache[key] = _make_run(n_pad, dim, rdim, num_l, f_)
+        run = run_cache[key]
+
         values_sh = jax.device_put(
             values_p, NamedSharding(mesh, P(axis)))
-        out, summary = jax.jit(run)(
+        out, summary = run(
             values_sh, meas_p, info_p, fixed_p, lf, lt, lmeas, linfo,
             w_inv)
         s = np.asarray(summary)

@@ -108,13 +108,12 @@ def optimize_pose_graph_2d(poses, edges_from, edges_to, measurements,
     linear_solver="direct" auto-routes: chain_direct when an (i,i+1)
     odometry chain exists, banded_direct otherwise."""
     if linear_solver == "direct":
-        import numpy as _np
-        ef_np = _np.asarray(edges_from)
-        et_np = _np.asarray(edges_to)
-        consec = _np.zeros(_np.asarray(poses).shape[0] - 1, bool)
-        mask = et_np == ef_np + 1
-        consec[ef_np[mask]] = True
-        linear_solver = "chain_direct" if consec.all() else "banded_direct"
+        from rust_robotics_tpu.nlls.tridiag import has_full_chain
+
+        n_nodes = jnp.asarray(poses).shape[0]
+        linear_solver = ("chain_direct"
+                         if has_full_chain(n_nodes, edges_from, edges_to)
+                         else "banded_direct")
     if linear_solver == "chain_direct":
         return _optimize_chain_direct(poses, edges_from, edges_to,
                                       measurements, information,
@@ -268,14 +267,12 @@ def optimize_pose_graph_3d(pose_tangents, edges_from, edges_to,
     "banded_direct" / "direct" route arbitrary topologies exactly as the
     SE(2) path (nlls/banded.py on 6-dof tangents)."""
     if linear_solver == "direct":
-        import numpy as _np
-        ef_np = _np.asarray(edges_from)
-        et_np = _np.asarray(edges_to)
-        consec = _np.zeros(
-            _np.asarray(pose_tangents).shape[0] - 1, bool)
-        mask = et_np == ef_np + 1
-        consec[ef_np[mask]] = True
-        linear_solver = "chain_direct" if consec.all() else "banded_direct"
+        from rust_robotics_tpu.nlls.tridiag import has_full_chain
+
+        n_nodes = jnp.asarray(pose_tangents).shape[0]
+        linear_solver = ("chain_direct"
+                         if has_full_chain(n_nodes, edges_from, edges_to)
+                         else "banded_direct")
     if linear_solver == "banded_direct":
         return _optimize_banded_direct(pose_tangents, edges_from, edges_to,
                                        measurement_tangents, information,

@@ -227,3 +227,16 @@ def test_horizon_consensus_duplication_scaling():
     z3, _ = solve_horizon_consensus(jnp.asarray(dup), None,
                                     smooth_weight=90.0, cfg=cfg)
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z3), atol=5e-4)
+
+
+def test_horizon_consensus_horizon_one_hard_anchor():
+    """horizon == 1 with an anchor: the whole trajectory IS the anchor
+    (the reference's m == 0 reduced-system case) — review finding."""
+    from rust_robotics_tpu.control.admm import solve_horizon_consensus
+
+    goals = jnp.asarray([[[3.0, -1.0]], [[5.0, 2.0]]])  # [A=2, H=1, d=2]
+    anchor = jnp.asarray([0.5, 0.25])
+    z, _ = solve_horizon_consensus(goals, anchor,
+                                   cfg=ADMMConfig(iterations=50))
+    np.testing.assert_allclose(np.asarray(z[0]), np.asarray(anchor),
+                               atol=1e-7)

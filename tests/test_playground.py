@@ -34,8 +34,12 @@ def test_all_five_tabs_with_complete_sweeps():
     for tab in TABS:
         spec = d[tab]["params"]
         assert spec, tab
-        combos = ["|".join(map(str, c))
-                  for c in itertools.product(*spec.values())]
+        # JS builds run keys with String(choice); only STRING choices are
+        # identity under that (String(0.0) === "0" would break every
+        # float-keyed lookup — a real shipped bug caught in review)
+        for name, choices in spec.items():
+            assert all(isinstance(c, str) for c in choices), (tab, name)
+        combos = ["|".join(c) for c in itertools.product(*spec.values())]
         missing = [c for c in combos if c not in d[tab]["runs"]]
         assert not missing, (tab, missing)
 
