@@ -100,8 +100,69 @@ def run_pipeline_worker(coordinator: str, num_processes: int,
     jax.distributed.shutdown()
 
 
+def run_spike_worker(coordinator: str, num_processes: int,
+                     process_id: int, n_poses: int = 512):
+    """Cross-process FLAGSHIP solve: the SPIKE-partitioned chain LM
+    (parallel/sharded_tridiag) with each process hosting one mesh slot —
+    the ppermute halos, interface all_gather and Woodbury psums all cross
+    the process boundary over gloo (the DCN path of a real slice)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator, num_processes=num_processes,
+                               process_id=process_id)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from rust_robotics_tpu.demos.pose_graph_bench import (
+        rmse,
+        synthesize_chain,
+    )
+    from rust_robotics_tpu.nlls.tridiag import classify_chain_edges
+    from rust_robotics_tpu.parallel.sharded_tridiag import (
+        make_sharded_chain_solver,
+    )
+    from rust_robotics_tpu.slam.pose_graph import (
+        se2_edge_residual,
+        se2_retract,
+    )
+
+    devices = np.asarray(jax.devices())
+    assert len(devices) == num_processes
+    mesh = Mesh(devices, ("data",))
+
+    truth, initial, ef, et, meas, info = synthesize_chain(n_poses)
+    cm, ci, lf, lt, lm, li = classify_chain_edges(
+        n_poses, ef, et, meas, info)
+    fixed = jnp.zeros((n_poses,), bool).at[0].set(True)
+    solver = make_sharded_chain_solver(
+        mesh, "data", residual_fn=se2_edge_residual,
+        retract_fn=se2_retract, tdim=3, max_iterations=12,
+        gradient_tolerance=1e-8, step_tolerance=1e-8,
+        cost_tolerance=1e-16)
+    f = jnp.float32
+    out, summ = solver(
+        jnp.asarray(initial, f), jnp.asarray(cm, f), jnp.asarray(ci, f),
+        jnp.asarray(lf, jnp.int32), jnp.asarray(lt, jnp.int32),
+        jnp.asarray(lm, f), jnp.asarray(li, f), fixed)
+    # the solution is globally sharded across processes — gather it
+    from jax.experimental import multihost_utils
+
+    out_global = multihost_utils.process_allgather(out, tiled=True)
+    err = rmse(np.asarray(out_global), truth)
+    print(f"FAKESPIKE proc={process_id} rmse={err:.8e} "
+          f"cost={float(summ.final_cost):.10f} "
+          f"iters={int(summ.iterations)}", flush=True)
+    jax.distributed.shutdown()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 4 and sys.argv[4] == "pipeline":
         run_pipeline_worker(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 4 and sys.argv[4] == "spike":
+        run_spike_worker(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]))
     else:
         run_worker(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]))

@@ -76,3 +76,42 @@ def test_two_process_training_step_agrees():
     assert oracle.returncode == 0, oracle.stdout + oracle.stderr
     oracle_loss = float(oracle.stdout.strip().split()[-1])
     np.testing.assert_allclose(losses[0], oracle_loss, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_spike_chain_solver_agrees():
+    """The FLAGSHIP chain solve across a real process boundary: two
+    jax.distributed gloo processes each host one mesh slot of the
+    SPIKE-partitioned LM; both report the identical replicated cost and
+    the single-device-class RMSE."""
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "rust_robotics_tpu.parallel.fake_cluster",
+             coord, "2", str(pid), "spike"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env={"PATH": "/usr/bin:/bin", "HOME": "/root",
+                 "PYTHONPATH": ".",
+                 "JAX_PLATFORMS": "cpu"},
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+        assert p.returncode == 0, out
+    results = []
+    for out in outs:
+        m = re.search(
+            r"FAKESPIKE proc=(\d) rmse=([0-9.e+-]+) cost=(-?[0-9.]+) "
+            r"iters=(\d+)", out)
+        assert m, out
+        results.append((float(m.group(2)), float(m.group(3)),
+                        int(m.group(4))))
+    # replicated summary: both processes agree exactly
+    assert results[0] == results[1]
+    rmse_val, cost, iters = results[0]
+    assert rmse_val < 5e-3, results
+    assert iters >= 3
