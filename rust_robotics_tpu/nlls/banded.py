@@ -298,7 +298,7 @@ def solve_banded_lm(
         sn_lt = loop_to // s
         l_lt = loop_to % s
 
-    # Woodbury edge-chunk sizing (static; see tridiag.apply_columns_chunked)
+    # Woodbury edge-chunk sizing (static; mirrors tridiag.chain_woodbury_solve)
     m_pow2 = 1 if ns == 1 else 1 << (ns - 1).bit_length()
     _bytes_per_edge = 3 * (2 * m_pow2) * big * 4 * rdim
     cs_edges = max(1, min(max(num_l, 1),
