@@ -104,7 +104,7 @@ _TAIL_M = 512  # active length at which the unrolled ladder hands to the scan
 # Tests shrink this to force the multi-chunk path on small problems;
 # solve_chain_lm reads it at TRACE time (call
 # solve_chain_lm.clear_cache() after changing it).
-WOODBURY_CHUNK_BYTES = 9 * 512 * 1024 * 1024
+WOODBURY_CHUNK_BYTES = 18 * 512 * 1024 * 1024
 
 
 def _to_soa(x):

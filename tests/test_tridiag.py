@@ -220,7 +220,7 @@ def test_chain_direct_30k_multi_chunk_capacity():
     """30k poses / 300 loop closures: the streamed Woodbury splits into
     multiple edge chunks at the default budget (no [n, t, K] U array is
     ever built — the r3 50k OOM cliff). Pins RMSE; on the TPU the same
-    path completes 100k poses in ~13 s at RMSE 3.3e-4 (docs/PERF.md)."""
+    path completes 100k poses in ~10 s at RMSE 3.3e-4 (docs/PERF.md)."""
     from rust_robotics_tpu.demos.pose_graph_bench import (
         rmse,
         run_large_benchmark,
