@@ -229,3 +229,51 @@ def test_chain_direct_30k_multi_chunk_capacity():
     seconds, err, iters = run_large_benchmark(30000, device_resident=True)
     assert err < 1e-3, err
     assert iters >= 5
+
+
+@pytest.mark.slow
+def test_se3_chain_1k_f64_island_converges_tight():
+    """SE(3) chains at scale: the f64 island converges to ~1e-7 position
+    RMSE at n=1000 (and 1.0e-6 at 10k, docs/PERF.md); pure f32 stalls at
+    the residual-noise floor (~2e-5 at n=1000, ~1 m at 10k on a 30-unit
+    workspace) — an accuracy-island boundary, not a solver defect."""
+    import jax
+
+    from rust_robotics_tpu.core.lie import se3_exp, se3_log
+    from rust_robotics_tpu.slam.pose_graph import optimize_pose_graph_3d
+
+    n = 1000
+    i = np.arange(n, dtype=np.float64)
+    truth_t = np.stack(
+        [15 * np.sin(0.002 * i), 10 * np.sin(0.004 * i),
+         2 * np.sin(0.003 * i), 0.3 * np.sin(0.0017 * i),
+         0.3 * np.cos(0.0023 * i), 0.4 * np.sin(0.0011 * i)], -1)
+    tm = np.asarray(jax.vmap(se3_exp)(jnp.asarray(truth_t)))
+    rel = jax.vmap(lambda a, b: se3_log(jnp.linalg.inv(a) @ b))
+    mc = np.asarray(rel(jnp.asarray(tm[:-1]), jnp.asarray(tm[1:])))
+    ef = list(range(n - 1))
+    et = list(range(1, n))
+    lf = list(range(0, n - 100, 100))
+    lt = [a + 100 for a in lf]
+    ml = np.asarray(rel(jnp.asarray(tm[lf]), jnp.asarray(tm[lt])))
+    ef += lf
+    et += lt
+    meas = np.concatenate([mc, ml])
+    info = np.concatenate([np.tile(np.eye(6) * 100.0, (n - 1, 1, 1)),
+                           np.tile(np.eye(6) * 20.0, (len(lf), 1, 1))])
+    initial_t = truth_t + np.stack(
+        [0.02 * np.sin(i * 0.013), 0.03 * np.cos(i * 0.021),
+         0.005 * np.sin(i * 0.017), 0.004 * np.cos(i * 0.019),
+         0.004 * np.sin(i * 0.023), 0.003 * np.cos(i * 0.029)], -1)
+    initial_t[0] = truth_t[0]
+
+    out, summ = optimize_pose_graph_3d(
+        jnp.asarray(initial_t), np.asarray(ef, np.int32),
+        np.asarray(et, np.int32), jnp.asarray(meas), jnp.asarray(info),
+        max_iterations=25, tolerance=1e-10,
+        linear_solver="chain_direct")
+    pos = np.asarray(jax.vmap(se3_exp)(
+        jnp.asarray(np.asarray(out))))[:, :3, 3]
+    err = float(np.sqrt(np.mean(np.sum((pos - tm[:, :3, 3]) ** 2, -1))))
+    assert err < 1e-6, err
+    assert summ.termination == "gradient_converged"
