@@ -383,20 +383,34 @@ def build_w_inv(loop_info, num_l, rdim, dtype):
 
 
 def chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to, w_inv,
-                         rhs_vec):
+                         rhs_vec, w_blocks=None, refine=0):
     """x = (T + U W Uᵀ)⁻¹ rhs_vec for an assembled chain system.
 
     bd [n,t,t] damped/fixed-adjusted diagonal blocks, c [n-1,t,t] super-
     diagonal, jac_loop = (ji_l, jj_l) raw loop Jacobians (or None),
     w_inv [K,K], rhs_vec [n,t]. U's columns are streamed in edge chunks
     sized by WOODBURY_CHUNK_BYTES — no O(n·K) array is materialized.
-    Shared by solve_chain_lm's inner solve and the IFT backward pass."""
+    Shared by solve_chain_lm's inner solve and the IFT backward pass.
+
+    refine: number of iterative-refinement passes (x += H⁻¹(b − Hx),
+    one cheap H matvec + one extra ladder apply each). Off by default —
+    the SE(2) benchmarks don't need it; opt in for ill-conditioned f32
+    systems (large-workspace SE(3) chains) where the factorization's
+    κ·ε solve error dominates. Requires `w_blocks` [L, r, r] (the loop
+    information blocks; identity if None) when loops are present and
+    refine > 0, since the H matvec applies W itself rather than W⁻¹."""
     n, tdim, _ = bd.shape
     f_ = bd.dtype
     fac = block_tridiag_factor(bd, c)
-    y0 = block_tridiag_apply(fac, rhs_vec[..., None])[..., 0]
     if jac_loop is None:
-        return y0
+        x = block_tridiag_apply(fac, rhs_vec[..., None])[..., 0]
+        for _ in range(refine):
+            tx = jnp.einsum("nij,nj->ni", bd, x)
+            tx = tx.at[:-1].add(jnp.einsum("nij,nj->ni", c, x[1:]))
+            tx = tx.at[1:].add(jnp.einsum("nji,nj->ni", c, x[:-1]))
+            x = x + block_tridiag_apply(
+                fac, (rhs_vec - tx)[..., None])[..., 0]
+        return x
     ji_l, jj_l = jac_loop
     num_l = loop_from.shape[0]
     rdim = ji_l.shape[1]
@@ -445,15 +459,38 @@ def chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to, w_inv,
         uty = jnp.moveaxis(s_parts, 0, 1).reshape(
             k_w, nc_edges * cs_edges * rdim)[:, :k_w]
     s = w_inv + uty
-    rhs_c = ut_apply(y0[..., None])[:, 0]
-    coef = jnp.linalg.solve(s, rhs_c)
-    # correction T⁻¹ (U coef) via one more ladder apply; U coef is
-    # assembled sparsely from the edge Jacobians
-    cb = coef.reshape(num_l, rdim)
-    u_coef = jnp.zeros((n, tdim), f_)
-    u_coef = u_coef.at[loop_from].add(jnp.einsum("eat,ea->et", ji_l, cb))
-    u_coef = u_coef.at[loop_to].add(jnp.einsum("eat,ea->et", jj_l, cb))
-    return y0 - block_tridiag_apply(fac, u_coef[..., None])[..., 0]
+
+    def u_scatter(cb):
+        """U v: [L, r] per-edge coefficients -> [n, t]."""
+        out = jnp.zeros((n, tdim), f_)
+        out = out.at[loop_from].add(jnp.einsum("eat,ea->et", ji_l, cb))
+        out = out.at[loop_to].add(jnp.einsum("eat,ea->et", jj_l, cb))
+        return out
+
+    def solve_once(b_vec):
+        y0 = block_tridiag_apply(fac, b_vec[..., None])[..., 0]
+        rhs_c = ut_apply(y0[..., None])[:, 0]
+        coef = jnp.linalg.solve(s, rhs_c)
+        # correction T⁻¹ (U coef) via one more ladder apply; U coef is
+        # assembled sparsely from the edge Jacobians
+        u_coef = u_scatter(coef.reshape(num_l, rdim))
+        return y0 - block_tridiag_apply(fac, u_coef[..., None])[..., 0]
+
+    x = solve_once(rhs_vec)
+    if refine:
+        assert w_blocks is not None, "refine needs the loop info blocks"
+
+        def h_apply(v):
+            tv = jnp.einsum("nij,nj->ni", bd, v)
+            tv = tv.at[:-1].add(jnp.einsum("nij,nj->ni", c, v[1:]))
+            tv = tv.at[1:].add(jnp.einsum("nji,nj->ni", c, v[:-1]))
+            utv = ut_apply(v[..., None])[:, 0].reshape(num_l, rdim)
+            wv = jnp.einsum("eij,ej->ei", w_blocks, utv)
+            return tv + u_scatter(wv)
+
+        for _ in range(refine):
+            x = x + solve_once(rhs_vec - h_apply(x))
+    return x
 
 
 class ChainSummary(NamedTuple):
@@ -473,7 +510,7 @@ TERMINATION_NAMES = {0: "max_iterations", 1: "gradient_converged",
     jax.jit,
     static_argnames=("residual_fn", "retract_fn", "tdim", "max_iterations",
                      "gradient_tolerance", "step_tolerance",
-                     "cost_tolerance", "initial_damping"),
+                     "cost_tolerance", "initial_damping", "refine"),
 )
 def solve_chain_lm(
     values0,
@@ -493,6 +530,7 @@ def solve_chain_lm(
     step_tolerance: float = 1e-10,
     cost_tolerance: float = 1e-12,
     initial_damping: float = 1e-3,
+    refine: int = 0,
 ):
     """Device-resident LM over a chain factor graph with loop closures.
 
@@ -536,6 +574,9 @@ def solve_chain_lm(
 
     # W^{-1}: block-diagonal inverse information of the loop edges
     w_inv = build_w_inv(loop_info, num_l, rdim, f_) if num_l else None
+    w_blocks = (jnp.broadcast_to(jnp.eye(rdim, dtype=f_),
+                                 (num_l, rdim, rdim))
+                if loop_info is None else loop_info) if num_l else None
 
     eye_t = jnp.eye(tdim, dtype=f_)
 
@@ -546,7 +587,8 @@ def solve_chain_lm(
         bd = b + jax.vmap(jnp.diag)(lam)
         bd = jnp.where(fixed[:, None, None], eye_t, bd)
         return chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to,
-                                    w_inv, -grad)
+                                    w_inv, -grad, w_blocks=w_blocks,
+                                    refine=refine)
 
     def apply_step(values, delta):
         delta = jnp.where(fixed[:, None], 0.0, delta)

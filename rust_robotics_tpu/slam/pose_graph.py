@@ -88,7 +88,8 @@ def build_pose_graph_2d(poses, edges_from, edges_to, measurements,
 def optimize_pose_graph_2d(poses, edges_from, edges_to, measurements,
                            information=None, max_iterations=50,
                            tolerance=1e-10, linear_solver="dense",
-                           pcg_max_iterations=3000, pcg_tolerance=1e-6):
+                           pcg_max_iterations=3000, pcg_tolerance=1e-6,
+                           refine=0):
     """optimize_pose_graph (pose_graph_optimization.rs:73-140): LM, first
     pose fixed; tolerances mapped as the reference maps PoseGraphConfig
     (PCG defaults follow benchmark_large_pose_graph.rs:66-75: 3000 iters).
@@ -117,7 +118,8 @@ def optimize_pose_graph_2d(poses, edges_from, edges_to, measurements,
     if linear_solver == "chain_direct":
         return _optimize_chain_direct(poses, edges_from, edges_to,
                                       measurements, information,
-                                      max_iterations, tolerance)
+                                      max_iterations, tolerance,
+                                      refine=refine)
     if linear_solver == "banded_direct":
         return _optimize_banded_direct(poses, edges_from, edges_to,
                                        measurements, information,
@@ -141,7 +143,8 @@ def optimize_pose_graph_2d(poses, edges_from, edges_to, measurements,
 
 def _optimize_chain_direct(poses, edges_from, edges_to, measurements,
                            information, max_iterations, tolerance,
-                           fix_first=True):
+                           fix_first=True, refine=0,
+                           residual_fn=None, retract_fn=None, tdim=3):
     """SE(2) pose graph on the device-resident chain solver."""
     from rust_robotics_tpu.nlls.solver import SolverSummary
     from rust_robotics_tpu.nlls.tridiag import (
@@ -166,13 +169,14 @@ def _optimize_chain_direct(poses, edges_from, edges_to, measurements,
         jnp.asarray(loop_meas, f),
         None if loop_info is None else jnp.asarray(loop_info, f),
         fixed,
-        residual_fn=se2_edge_residual,
-        retract_fn=se2_retract,
-        tdim=3,
+        residual_fn=residual_fn or se2_edge_residual,
+        retract_fn=retract_fn or se2_retract,
+        tdim=tdim,
         max_iterations=max(max_iterations, 1),
         gradient_tolerance=tolerance,
         step_tolerance=tolerance,
         cost_tolerance=tolerance * tolerance,
+        refine=refine,
     )
     # chain_direct performs exactly ONE direct linear solve per LM
     # iteration (no Krylov loop), so linear_iterations == iterations here
@@ -257,7 +261,7 @@ def build_pose_graph_3d(pose_tangents, edges_from, edges_to,
 def optimize_pose_graph_3d(pose_tangents, edges_from, edges_to,
                            measurement_tangents, information=None,
                            max_iterations=50, tolerance=1e-10,
-                           linear_solver="dense"):
+                           linear_solver="dense", refine=0):
     """optimize_pose_graph_3d (pose_graph_optimization_3d.rs:53-119).
     Returns (pose tangents [N, 6], SolverSummary).
 
@@ -307,6 +311,7 @@ def optimize_pose_graph_3d(pose_tangents, edges_from, edges_to,
             gradient_tolerance=tolerance,
             step_tolerance=tolerance,
             cost_tolerance=tolerance * tolerance,
+            refine=refine,
         )
         # one direct linear solve per LM iteration (see the SE(2) note)
         summary = SolverSummary(

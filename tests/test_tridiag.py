@@ -277,3 +277,19 @@ def test_se3_chain_1k_f64_island_converges_tight():
     err = float(np.sqrt(np.mean(np.sum((pos - tm[:, :3, 3]) ** 2, -1))))
     assert err < 1e-6, err
     assert summ.termination == "gradient_converged"
+
+
+def test_chain_refine_matches_plain_solve():
+    """Iterative refinement (refine=1) is a no-op to f32 tolerance on a
+    well-conditioned chain — same solution, slightly tighter linear
+    solves (opt-in knob for ill-conditioned f32 systems)."""
+    truth, initial, ef, et, meas, info = synthesize_chain(400)
+    args = (jnp.asarray(initial, jnp.float32), ef, et,
+            jnp.asarray(meas, jnp.float32), jnp.asarray(info, jnp.float32))
+    kw = dict(max_iterations=15, tolerance=1e-8,
+              linear_solver="chain_direct")
+    plain, _ = optimize_pose_graph_2d(*args, **kw)
+    refined, _ = optimize_pose_graph_2d(*args, refine=1, **kw)
+    np.testing.assert_allclose(np.asarray(refined), np.asarray(plain),
+                               atol=5e-4)
+    assert rmse(np.asarray(refined), truth) < 5e-3
