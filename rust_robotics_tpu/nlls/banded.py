@@ -126,7 +126,8 @@ def plan_banded(n, edges_from, edges_to, max_supernode=256):
     jax.jit,
     static_argnames=("residual_fn", "retract_fn", "tdim", "supernode",
                      "num_super", "max_iterations", "gradient_tolerance",
-                     "step_tolerance", "cost_tolerance", "initial_damping"),
+                     "step_tolerance", "cost_tolerance", "initial_damping",
+                     "fat_solve"),
 )
 def solve_banded_lm(
     values_b,
@@ -150,8 +151,17 @@ def solve_banded_lm(
     step_tolerance: float = 1e-10,
     cost_tolerance: float = 1e-12,
     initial_damping: float = 1e-3,
+    fat_solve=None,
 ):
     """Device-resident LM over a BANDED general factor graph.
+
+    fat_solve: optional override for the fat-block tridiagonal solve —
+    solve(diag [Ns, D, D], upper [Ns-1, D, D], rhs [Ns, D, r]) -> x.
+    parallel/sharded_banded.py injects the SPIKE-partitioned mesh solve
+    here; None uses the single-device cyclic-reduction ladder (which
+    factors once per LM iteration and reuses the factorization across
+    the gradient/Woodbury/correction applies — the override refactors
+    per apply, the cost of mesh-agnostic injection).
 
     All node arrays are in BANDED (RCM-permuted) order:
     values_b [n, dim]; band_* index in-band edges (same/adjacent
@@ -312,10 +322,14 @@ def solve_banded_lm(
         lam = damping * jnp.maximum(jnp.abs(diag_fat + diag_l_fat), 1.0)
         lam = jnp.where(fixed_fat, 1.0, lam)  # fixed scalars -> identity
         dd = d + jax.vmap(jnp.diag)(lam)
-        fac = block_tridiag_factor(dd, u[:ns - 1] if ns > 1 else
-                                   jnp.zeros((0, big, big), f_))
+        upper_arr = u[:ns - 1] if ns > 1 else jnp.zeros((0, big, big), f_)
+        if fat_solve is None:
+            fac = block_tridiag_factor(dd, upper_arr)
+            t_apply = lambda rhs: block_tridiag_apply(fac, rhs)
+        else:
+            t_apply = lambda rhs: fat_solve(dd, upper_arr, rhs)
         grad_fat = grad.reshape(ns, big)
-        y0 = block_tridiag_apply(fac, -grad_fat[..., None])[..., 0]
+        y0 = t_apply(-grad_fat[..., None])[..., 0]
         if num_l == 0:
             return y0.reshape(n_pad, tdim)[:n]
         ji_l, jj_l = jac_loop
@@ -342,7 +356,7 @@ def solve_banded_lm(
             rhs = rhs.at[snt_c[:, None, None], rowt_c[:, :, None],
                          cols[:, None, :]].add(
                 jnp.swapaxes(jj_c, -1, -2))
-            return ut_apply(block_tridiag_apply(fac, rhs))
+            return ut_apply(t_apply(rhs))
 
         pad_e = nc_edges * cs_edges - num_l
 
@@ -369,7 +383,7 @@ def solve_banded_lm(
             jnp.einsum("eat,ea->et", ji_l, cb))
         u_coef = u_coef.at[sn_lt[:, None], rows_lt].add(
             jnp.einsum("eat,ea->et", jj_l, cb))
-        delta = y0 - block_tridiag_apply(fac, u_coef[..., None])[..., 0]
+        delta = y0 - t_apply(u_coef[..., None])[..., 0]
         return delta.reshape(n_pad, tdim)[:n]
 
     def apply_step(values, delta):
