@@ -293,3 +293,50 @@ def test_chain_refine_matches_plain_solve():
     np.testing.assert_allclose(np.asarray(refined), np.asarray(plain),
                                atol=5e-4)
     assert rmse(np.asarray(refined), truth) < 5e-3
+
+
+def test_chain_direct_random_property_sweep():
+    """proptest-style sweep (the reference's proptest_filters.rs idiom):
+    random chains with random SPD edge information, random loop-closure
+    patterns (incl. parallel (i,i+1) duplicates and repeated endpoints)
+    must match the dense LM solver."""
+    from rust_robotics_tpu.demos.pose_graph_bench import relative
+
+    for seed in range(6):
+        rng = np.random.default_rng(100 + seed)
+        n = int(rng.integers(12, 40))
+        truth = np.stack([np.cumsum(rng.normal(0.3, 0.1, n)),
+                          np.cumsum(rng.normal(0.0, 0.2, n)),
+                          rng.normal(0, 0.4, n)], -1)
+        ef = list(range(n - 1))
+        et = list(range(1, n))
+        # random extra edges: loops, parallel odometry duplicates
+        for _ in range(int(rng.integers(1, 6))):
+            a = int(rng.integers(0, n - 1))
+            b = int(rng.integers(a + 1, n))
+            ef.append(a)
+            et.append(b)
+        meas = np.stack([relative(truth[a], truth[b])
+                         for a, b in zip(ef, et)])
+        # random SPD information per edge
+        infos = []
+        for _ in range(len(ef)):
+            m = rng.normal(0, 0.3, (3, 3))
+            infos.append(m @ m.T + np.eye(3) * rng.uniform(5, 50))
+        info = np.stack(infos)
+        initial = truth + rng.normal(0, 0.02, truth.shape)
+        initial[0] = truth[0]
+        args = (jnp.asarray(initial), np.asarray(ef, np.int32),
+                np.asarray(et, np.int32), jnp.asarray(meas),
+                jnp.asarray(info))
+        dense, _ = optimize_pose_graph_2d(
+            *args, max_iterations=25, tolerance=1e-10,
+            linear_solver="dense")
+        chain, _ = optimize_pose_graph_2d(
+            *args, max_iterations=25, tolerance=1e-10,
+            linear_solver="chain_direct")
+        # both at the optimum; LM stopping points may differ by a last
+        # near-converged accept, so compare at optimization (not fp)
+        # tolerance
+        np.testing.assert_allclose(np.asarray(chain), np.asarray(dense),
+                                   atol=1e-4, err_msg=f"seed {seed}")
