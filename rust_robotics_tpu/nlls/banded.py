@@ -446,7 +446,8 @@ def solve_banded_lm(
 def solve_general_graph(values0, edges_from, edges_to, measurements,
                         information, fixed_mask, *, residual_fn,
                         retract_fn, tdim, max_supernode=256,
-                        max_iterations=50, tolerance=1e-10):
+                        max_iterations=50, tolerance=1e-10,
+                        fat_solve=None):
     """RCM-plan a general graph, run the banded LM, un-permute.
 
     values0 [n, dim] in ORIGINAL node order; returns (values [n, dim]
@@ -489,5 +490,6 @@ def solve_general_graph(values0, edges_from, edges_to, measurements,
         gradient_tolerance=tolerance,
         step_tolerance=tolerance,
         cost_tolerance=tolerance * tolerance,
+        fat_solve=fat_solve,
     )
     return out_b[jnp.asarray(plan.perm)], summ, plan

@@ -13,7 +13,7 @@ replicated — at supernodal scales it is a tiny fraction of the solve
 (edge Jacobians are O(E·t²) while the ladder is O(Ns·(s·t)³)) and
 replicating it avoids a cross-device scatter protocol for arbitrary
 edge->supernode placements. Only the ladder — where the FLOPs live —
-is sharded.
+is sharded, injected through `solve_banded_lm`'s `fat_solve` hook.
 
 Oracle: the single-device `solve_banded_lm` (tests/test_sharded_banded).
 """
@@ -27,15 +27,24 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from rust_robotics_tpu.nlls.banded import plan_banded, solve_banded_lm
+from rust_robotics_tpu.nlls.banded import solve_general_graph
 from rust_robotics_tpu.parallel.sharded_tridiag import spike_solve_local
+
+# fat_solve is a STATIC (identity-keyed) argument of the jitted
+# solve_banded_lm — a fresh closure per call would retrace the whole LM
+# while_loop every solve. One solver per (mesh, axis), forever.
+_FAT_SOLVER_CACHE = {}
 
 
 def make_sharded_fat_tridiag_solver(mesh: Mesh, axis: str):
     """Returns solve(diag [Ns, D, D], upper [Ns-1, D, D], rhs [Ns, D, r])
     -> x [Ns, D, r]: the fat-block tridiagonal solve SPIKE-partitioned
     over `axis`. Ns is padded to a multiple of the axis size with
-    decoupled identity blocks."""
+    decoupled identity blocks. Cached per (mesh, axis) so the returned
+    closure (a static jit argument downstream) stays identity-stable."""
+    key = (mesh, axis)
+    if key in _FAT_SOLVER_CACHE:
+        return _FAT_SOLVER_CACHE[key]
     num_devices = mesh.shape[axis]
 
     @functools.partial(
@@ -57,6 +66,8 @@ def make_sharded_fat_tridiag_solver(mesh: Mesh, axis: str):
         return spike_solve_local(diag_l, upper_l[:-1], a_left, c_right,
                                  rhs_l, axis, num_devices)
 
+    run_jit = jax.jit(run)
+
     def solve(diag, upper, rhs):
         ns, dd, _ = diag.shape
         r = rhs.shape[-1]
@@ -72,63 +83,21 @@ def make_sharded_fat_tridiag_solver(mesh: Mesh, axis: str):
         # uppers [d*m, d*m + m) where the LAST is its right coupling
         up_p = jnp.concatenate(
             [upper, jnp.zeros((ns_pad - upper.shape[0], dd, dd), f_)], 0)
-        x = jax.jit(run)(diag_p, up_p, rhs_p)
+        x = run_jit(diag_p, up_p, rhs_p)
         return x[:ns]
 
+    _FAT_SOLVER_CACHE[key] = solve
     return solve
 
 
 def solve_general_graph_sharded(values0, edges_from, edges_to,
                                 measurements, information, fixed_mask,
-                                mesh: Mesh, axis: str, *, residual_fn,
-                                retract_fn, tdim, max_supernode=256,
-                                max_iterations=50, tolerance=1e-10):
+                                mesh: Mesh, axis: str, **kwargs):
     """Mesh-sharded counterpart of banded.solve_general_graph: identical
-    plan + LM semantics with the fat-block ladder SPIKE-partitioned over
-    `axis` (monkeypatch-free: runs solve_banded_lm with its
-    block_tridiag machinery swapped for the sharded solve via the
-    `linear_solve_override` hook)."""
-    from rust_robotics_tpu.nlls import banded as banded_mod
-
-    values0 = jnp.asarray(values0)
-    n = values0.shape[0]
-    ef = np.asarray(edges_from)
-    et = np.asarray(edges_to)
-    meas = np.asarray(measurements)
-    info = None if information is None else np.asarray(information)
-    plan = plan_banded(n, ef, et, max_supernode)
-    f = values0.dtype
-
-    values_b = values0[jnp.asarray(plan.order)]
-    fixed_b = jnp.asarray(np.asarray(fixed_mask)[plan.order])
-    pf = plan.perm[ef]
-    pt = plan.perm[et]
-    ib = plan.in_band
-    band_info = None if info is None else jnp.asarray(info[ib], f)
-    loop_info = None if info is None else jnp.asarray(info[~ib], f)
-
-    fat_solve = make_sharded_fat_tridiag_solver(mesh, axis)
-
-    out_b, summ = solve_banded_lm(
-        values_b,
-        jnp.asarray(pf[ib], jnp.int32),
-        jnp.asarray(pt[ib], jnp.int32),
-        jnp.asarray(meas[ib], f),
-        band_info,
-        jnp.asarray(pf[~ib], jnp.int32),
-        jnp.asarray(pt[~ib], jnp.int32),
-        jnp.asarray(meas[~ib], f),
-        loop_info,
-        fixed_b,
-        residual_fn=residual_fn,
-        retract_fn=retract_fn,
-        tdim=tdim,
-        supernode=plan.supernode,
-        num_super=plan.num_super,
-        max_iterations=max_iterations,
-        gradient_tolerance=tolerance,
-        step_tolerance=tolerance,
-        cost_tolerance=tolerance * tolerance,
-        fat_solve=fat_solve,
-    )
-    return out_b[jnp.asarray(plan.perm)], summ, plan
+    plan + LM semantics (it IS solve_general_graph) with the fat-block
+    ladder SPIKE-partitioned over `axis` via the `fat_solve` hook.
+    Accepts solve_general_graph's keyword arguments."""
+    return solve_general_graph(
+        values0, edges_from, edges_to, measurements, information,
+        fixed_mask, fat_solve=make_sharded_fat_tridiag_solver(mesh, axis),
+        **kwargs)

@@ -121,10 +121,17 @@ def optimize_pose_graph_2d(poses, edges_from, edges_to, measurements,
                                       max_iterations, tolerance,
                                       refine=refine)
     if linear_solver == "banded_direct":
+        if refine:
+            raise ValueError(
+                "refine is only supported by linear_solver='chain_direct'")
         return _optimize_banded_direct(poses, edges_from, edges_to,
                                        measurements, information,
                                        max_iterations, tolerance,
                                        se2_edge_residual, se2_retract, 3)
+    if refine:
+        raise ValueError(
+            f"refine is only supported by linear_solver='chain_direct', "
+            f"got {linear_solver!r}")
     prob = build_pose_graph_2d(poses, edges_from, edges_to, measurements,
                                information)
     cfg = SolverConfig(
@@ -278,49 +285,24 @@ def optimize_pose_graph_3d(pose_tangents, edges_from, edges_to,
                          if has_full_chain(n_nodes, edges_from, edges_to)
                          else "banded_direct")
     if linear_solver == "banded_direct":
+        if refine:
+            raise ValueError(
+                "refine is only supported by linear_solver='chain_direct'")
         return _optimize_banded_direct(pose_tangents, edges_from, edges_to,
                                        measurement_tangents, information,
                                        max_iterations, tolerance,
                                        se3_edge_residual, se3_retract, 6)
     if linear_solver == "chain_direct":
-        from rust_robotics_tpu.nlls.solver import SolverSummary
-        from rust_robotics_tpu.nlls.tridiag import (
-            TERMINATION_NAMES,
-            classify_chain_edges,
-            solve_chain_lm,
-        )
-
-        poses = jnp.asarray(pose_tangents)
-        n = poses.shape[0]
-        (c_meas, c_info, l_ef, l_et, l_meas,
-         l_info) = classify_chain_edges(n, edges_from, edges_to,
-                                        measurement_tangents, information)
-        fixed = jnp.zeros((n,), dtype=bool).at[0].set(True)
-        f = poses.dtype
-        out, summ = solve_chain_lm(
-            poses, jnp.asarray(c_meas, f),
-            None if c_info is None else jnp.asarray(c_info, f),
-            jnp.asarray(l_ef, jnp.int32), jnp.asarray(l_et, jnp.int32),
-            jnp.asarray(l_meas, f),
-            None if l_info is None else jnp.asarray(l_info, f),
-            fixed,
-            residual_fn=se3_edge_residual,
-            retract_fn=se3_retract,
-            tdim=6,
-            max_iterations=max(max_iterations, 1),
-            gradient_tolerance=tolerance,
-            step_tolerance=tolerance,
-            cost_tolerance=tolerance * tolerance,
-            refine=refine,
-        )
-        # one direct linear solve per LM iteration (see the SE(2) note)
-        summary = SolverSummary(
-            float(summ.initial_cost), float(summ.final_cost),
-            int(summ.iterations), int(summ.accepted_steps),
-            TERMINATION_NAMES[int(summ.termination_code)],
-            int(summ.iterations),
-        )
-        return out, summary
+        return _optimize_chain_direct(pose_tangents, edges_from, edges_to,
+                                      measurement_tangents, information,
+                                      max_iterations, tolerance,
+                                      refine=refine,
+                                      residual_fn=se3_edge_residual,
+                                      retract_fn=se3_retract, tdim=6)
+    if refine:
+        raise ValueError(
+            f"refine is only supported by linear_solver='chain_direct', "
+            f"got {linear_solver!r}")
     prob = build_pose_graph_3d(pose_tangents, edges_from, edges_to,
                                measurement_tangents, information)
     cfg = SolverConfig(
