@@ -141,6 +141,108 @@ def test_chain_implicit_matches_dense_ift():
                                rtol=1e-4, atol=1e-8)
 
 
+def _solve_banded_direct(meas, initial, ef, et, info, max_iterations=40):
+    from rust_robotics_tpu.slam.pose_graph import optimize_pose_graph_2d
+
+    return optimize_pose_graph_2d(
+        jnp.asarray(initial), ef, et, jnp.asarray(meas),
+        jnp.asarray(info), max_iterations=max_iterations,
+        tolerance=1e-12, linear_solver="banded_direct")
+
+
+@pytest.mark.slow
+def test_banded_implicit_matches_finite_difference():
+    """IFT through the GENERAL-graph banded solver (VERDICT r4 #1):
+    FD-pinned on a small grid graph with NO odometry chain, including
+    out-of-band (Woodbury) closure edges."""
+    from rust_robotics_tpu.demos.pose_graph_bench import synthesize_grid
+    from rust_robotics_tpu.nlls.implicit import pose_graph_implicit_vjp
+    from rust_robotics_tpu.nlls.tridiag import has_full_chain
+
+    truth, initial, ef, et, meas, info = synthesize_grid(5, 4, 2)
+    assert not has_full_chain(truth.shape[0], ef, et)
+    poses, _ = _solve_banded_direct(meas, initial, ef, et, info)
+
+    def loss_fn(poses):
+        return jnp.sum(poses[-1] ** 2)
+
+    loss, g = pose_graph_implicit_vjp(poses, ef, et, meas, info, loss_fn)
+    assert g.shape == meas.shape
+    assert np.all(np.isfinite(g))
+
+    eps = 1e-6
+    # a horizontal edge, a vertical edge, and both long closures
+    checks = [(0, 0), (7, 1), (20, 2), (len(ef) - 2, 0), (len(ef) - 1, 1)]
+    for e, k in checks:
+        m2 = meas.copy()
+        m2[e, k] += eps
+        p2, _ = _solve_banded_direct(m2, initial, ef, et, info)
+        m3 = meas.copy()
+        m3[e, k] -= eps
+        p3, _ = _solve_banded_direct(m3, initial, ef, et, info)
+        fd = (float(loss_fn(jnp.asarray(p2)))
+              - float(loss_fn(jnp.asarray(p3)))) / (2 * eps)
+        np.testing.assert_allclose(g[e, k], fd, rtol=5e-4, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_banded_implicit_matches_dense_ift():
+    """banded IFT must agree with the dense GN implicit_vjp on the same
+    solved grid problem (the chain test's idiom, non-chain topology)."""
+    from rust_robotics_tpu.demos.pose_graph_bench import synthesize_grid
+    from rust_robotics_tpu.nlls.implicit import pose_graph_implicit_vjp
+
+    truth, initial, ef, et, meas, info = synthesize_grid(6, 5, 3)
+    prob = build_pose_graph_2d(jnp.asarray(initial), ef, et,
+                               jnp.asarray(meas), jnp.asarray(info))
+    cfg = SolverConfig(method="lm", max_iterations=40,
+                       gradient_tolerance=1e-12, step_tolerance=1e-12,
+                       cost_tolerance=1e-14)
+    solved, _ = solve(prob, cfg)
+
+    def loss_tuple(values_tuple):
+        return jnp.sum(values_tuple[0][-1] ** 2)
+
+    _, grads_dense = implicit_vjp(solved, loss_tuple,
+                                  hessian="gauss_newton")
+    poses_sol = solved.groups[0].values
+
+    def loss_poses(poses):
+        return jnp.sum(poses[-1] ** 2)
+
+    _, g_banded = pose_graph_implicit_vjp(poses_sol, ef, et, meas, info,
+                                          loss_poses)
+    np.testing.assert_allclose(g_banded, np.asarray(grads_dense[0]),
+                               rtol=1e-4, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_banded_implicit_grid_10k_scale():
+    """d(final-pose loss)/d(ALL measurements) on the 10k-pose 100x100
+    GRID graph — the round-4 flagship topology, now differentiable
+    (VERDICT r4 #1 'done' criterion). Dense IFT would need a 30k^2
+    Hessian; the banded path reuses the fat-block ladder."""
+    from rust_robotics_tpu.demos.pose_graph_bench import synthesize_grid
+    from rust_robotics_tpu.nlls.implicit import pose_graph_implicit_vjp
+
+    truth, initial, ef, et, meas, info = synthesize_grid(100, 100, 50)
+    poses, summ = _solve_banded_direct(meas, initial, ef, et, info,
+                                       max_iterations=15)
+
+    def loss_fn(poses):
+        # nonzero AT the optimum (the exact-measurement grid converges
+        # to truth, so a loss against truth would have a ~0 gradient)
+        return jnp.sum(poses[-1] ** 2)
+
+    loss, g = pose_graph_implicit_vjp(poses, ef, et, meas, info, loss_fn)
+    assert g.shape == meas.shape
+    assert np.all(np.isfinite(g))
+    # an edge incident to the final pose moves the loss directly: the
+    # gradient there must be materially nonzero
+    touching = np.nonzero((np.asarray(et) == truth.shape[0] - 1))[0]
+    assert np.max(np.abs(g[touching])) > 1e-8
+
+
 @pytest.mark.slow
 def test_chain_implicit_10k_scale():
     """d(final-pose loss)/d(ALL 10k odometry + loop measurements) — the
