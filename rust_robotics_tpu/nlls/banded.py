@@ -68,13 +68,21 @@ class BandedPlan(NamedTuple):
     in_band: np.ndarray    # [E] bool — edge handled by the tridiagonal part
 
 
-def plan_banded(n, edges_from, edges_to, max_supernode=256):
+def plan_banded(n, edges_from, edges_to, max_supernode=256, tdim=3):
     """Reverse-Cuthill-McKee ordering + supernode sizing (host, numpy).
 
     Every edge whose endpoints land in the same or adjacent supernodes is
     in-band; the rest go to the Woodbury correction. `max_supernode` caps
     the fat-block dimension (s*tdim) — graphs with a larger RCM band than
-    that simply send more edges to the low-rank side."""
+    that simply send more edges to the low-rank side.
+
+    Candidate (ordering, supernode) plans are scored by an explicit
+    per-LM-iteration FLOP model (ladder factor 14·n·s²·t³ + applies
+    8·n·s·t²·cols + the (K)³ Woodbury capacity solve) rather than a
+    lexicographic rule: a chain with ONE long closure must pick s=1 +
+    rank-t Woodbury, while a grid whose verticals would otherwise be
+    K=3e4 Woodbury columns must pick the fat band — both fall out of the
+    same model."""
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
@@ -105,15 +113,22 @@ def plan_banded(n, edges_from, edges_to, max_supernode=256):
         perm_c = np.empty(n, np.int64)
         perm_c[order_c] = np.arange(n)
         spans = np.sort(np.abs(perm_c[ef] - perm_c[et]))
-        band_c = int(spans[-(allowed_out + 1)]) if allowed_out else \
+        band_q = int(spans[-(allowed_out + 1)]) if allowed_out else \
             int(spans[-1])
-        s_c = int(min(max(band_c, 1), max_supernode))
-        out_c = int(np.sum(
-            np.abs(perm_c[ef] // s_c - perm_c[et] // s_c) > 1))
-        # fewer Woodbury edges first, then smaller fat blocks
-        key = (out_c, s_c)
-        if best is None or key < best[0]:
-            best = (key, order_c, perm_c, s_c, int(spans[-1]))
+        # supernode candidates per ordering: the high-quantile band (a
+        # few long closures must not inflate the fat blocks), the full
+        # max span (MANY same-span closures go in-band), and s=1 (pure
+        # tridiagonal + Woodbury)
+        for band_c in {band_q, int(spans[-1]), 1}:
+            s_c = int(min(max(band_c, 1), max_supernode))
+            out_c = int(np.sum(
+                np.abs(perm_c[ef] // s_c - perm_c[et] // s_c) > 1))
+            k_w = out_c * tdim
+            cost = (14.0 * n * s_c**2 * tdim**3           # ladder factor
+                    + 8.0 * n * s_c * tdim**2 * (2 + k_w)  # applies
+                    + (2.0 / 3.0) * float(k_w) ** 3)       # capacity LU
+            if best is None or cost < best[0]:
+                best = (cost, order_c, perm_c, s_c, int(spans[-1]))
     _, order, perm, s, band = best
     ns = -(-n // s)
     sn_f = perm[ef] // s
@@ -122,15 +137,8 @@ def plan_banded(n, edges_from, edges_to, max_supernode=256):
     return BandedPlan(order, perm, s, ns, band, in_band)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("residual_fn", "retract_fn", "tdim", "supernode",
-                     "num_super", "max_iterations", "gradient_tolerance",
-                     "step_tolerance", "cost_tolerance", "initial_damping",
-                     "fat_solve"),
-)
-def solve_banded_lm(
-    values_b,
+def _banded_ops(
+    n,
     band_from,
     band_to,
     band_meas,
@@ -140,45 +148,35 @@ def solve_banded_lm(
     loop_meas,
     loop_info,
     fixed_mask,
+    dtype,
     *,
     residual_fn: Callable,
     retract_fn: Callable,
     tdim: int,
     supernode: int,
     num_super: int,
-    max_iterations: int = 50,
-    gradient_tolerance: float = 1e-10,
-    step_tolerance: float = 1e-10,
-    cost_tolerance: float = 1e-12,
-    initial_damping: float = 1e-3,
     fat_solve=None,
 ):
-    """Device-resident LM over a BANDED general factor graph.
+    """Shared structure closures of the banded engine: returns
+    (linearize, cost_only, lin_solve, apply_step). Used by the LM
+    forward pass (`solve_banded_lm`) AND the IFT backward pass
+    (`nlls/implicit.py::banded_implicit_vjp`) so the H w = u solve of
+    the implicit function theorem rides the exact same fat-block
+    tridiagonal + streamed-Woodbury machinery as the forward solve.
 
-    fat_solve: optional override for the fat-block tridiagonal solve —
-    solve(diag [Ns, D, D], upper [Ns-1, D, D], rhs [Ns, D, r]) -> x.
-    parallel/sharded_banded.py injects the SPIKE-partitioned mesh solve
-    here; None uses the single-device cyclic-reduction ladder (which
-    factors once per LM iteration and reuses the factorization across
-    the gradient/Woodbury/correction applies — the override refactors
-    per apply, the cost of mesh-agnostic injection).
-
-    All node arrays are in BANDED (RCM-permuted) order:
-    values_b [n, dim]; band_* index in-band edges (same/adjacent
-    supernodes); loop_* are the out-of-band (Woodbury) edges; fixed_mask
-    [n] bool. residual_fn(xi, xj, meas) -> [rdim];
-    retract_fn(x, delta[tdim]) -> x'.
-
-    Returns (values_b [n, dim], ChainSummary). LM semantics mirror
-    solver.rs:81-188 exactly (same as solve_chain_lm)."""
-    n, _ = values_b.shape
+    linearize(values [n, dim]) -> (grad [n_pad, t], diag [Ns, big, big],
+    upper [max(Ns-1,1), big, big], jac_loop, diag_loop [n_pad, t], cost).
+    lin_solve(grad, diag, upper, jac_loop, diag_loop, damping) ->
+    delta [n, t] solving (H + damping·scaled-diag) delta = -grad with
+    fixed rows forced to identity (damping=0.0 gives the undamped
+    Gauss-Newton solve the IFT needs)."""
     s = supernode
     ns = num_super
     big = s * tdim
     n_pad = ns * s
     num_l = loop_from.shape[0]
     rdim = band_meas.shape[-1]
-    f_ = values_b.dtype
+    f_ = dtype
     k_w = num_l * rdim
     fixed = fixed_mask
 
@@ -326,6 +324,14 @@ def solve_banded_lm(
         if fat_solve is None:
             fac = block_tridiag_factor(dd, upper_arr)
             t_apply = lambda rhs: block_tridiag_apply(fac, rhs)
+        elif isinstance(fat_solve, tuple):
+            # (factor, apply) pair: factor ONCE per damped system, reuse
+            # across the gradient / Woodbury-chunk / correction applies
+            # (ADVICE r4: the single-callable hook refactored per apply —
+            # ~(chunks+2)x the ladder FLOPs per LM iteration)
+            fat_factor, fat_apply = fat_solve
+            fac = fat_factor(dd, upper_arr)
+            t_apply = lambda rhs: fat_apply(fac, rhs)
         else:
             t_apply = lambda rhs: fat_solve(dd, upper_arr, rhs)
         grad_fat = grad.reshape(ns, big)
@@ -390,6 +396,67 @@ def solve_banded_lm(
         delta = jnp.where(fixed[:, None], 0.0, delta)
         return jax.vmap(retract_fn)(values, delta)
 
+    return linearize, cost_only, lin_solve, apply_step
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("residual_fn", "retract_fn", "tdim", "supernode",
+                     "num_super", "max_iterations", "gradient_tolerance",
+                     "step_tolerance", "cost_tolerance", "initial_damping",
+                     "fat_solve"),
+)
+def solve_banded_lm(
+    values_b,
+    band_from,
+    band_to,
+    band_meas,
+    band_info,
+    loop_from,
+    loop_to,
+    loop_meas,
+    loop_info,
+    fixed_mask,
+    *,
+    residual_fn: Callable,
+    retract_fn: Callable,
+    tdim: int,
+    supernode: int,
+    num_super: int,
+    max_iterations: int = 50,
+    gradient_tolerance: float = 1e-10,
+    step_tolerance: float = 1e-10,
+    cost_tolerance: float = 1e-12,
+    initial_damping: float = 1e-3,
+    fat_solve=None,
+):
+    """Device-resident LM over a BANDED general factor graph.
+
+    fat_solve: optional override for the fat-block tridiagonal solve —
+    either solve(diag [Ns, D, D], upper [Ns-1, D, D], rhs [Ns, D, r])
+    -> x, or a (factor, apply) PAIR where factor(diag, upper) returns an
+    opaque factorization and apply(fac, rhs) -> x. The pair form lets
+    parallel/sharded_banded.py inject the SPIKE-partitioned mesh solve
+    while still factoring ONCE per LM iteration and reusing the
+    factorization across the gradient/Woodbury-chunk/correction applies
+    (the single-callable form refactors per apply). None uses the
+    single-device cyclic-reduction ladder (factor-once as well).
+
+    All node arrays are in BANDED (RCM-permuted) order:
+    values_b [n, dim]; band_* index in-band edges (same/adjacent
+    supernodes); loop_* are the out-of-band (Woodbury) edges; fixed_mask
+    [n] bool. residual_fn(xi, xj, meas) -> [rdim];
+    retract_fn(x, delta[tdim]) -> x'.
+
+    Returns (values_b [n, dim], ChainSummary). LM semantics mirror
+    solver.rs:81-188 exactly (same as solve_chain_lm)."""
+    n, _ = values_b.shape
+    linearize, cost_only, lin_solve, apply_step = _banded_ops(
+        n, band_from, band_to, band_meas, band_info, loop_from, loop_to,
+        loop_meas, loop_info, fixed_mask, values_b.dtype,
+        residual_fn=residual_fn, retract_fn=retract_fn, tdim=tdim,
+        supernode=supernode, num_super=num_super, fat_solve=fat_solve)
+
     def body(carry):
         values, damping, cost, it, accepted, term, done = carry
         grad, d, u, jac_loop, diag_loop, _ = linearize(values)
@@ -403,7 +470,10 @@ def solve_banded_lm(
 
         trial = apply_step(values, delta)
         trial_cost = cost_only(trial)
-        accept = (~grad_conv) & (~step_conv) & (~bad) & (trial_cost < cost)
+        # ~done: freeze converged instances under vmap (VERDICT r4 #5 —
+        # lock-step batches must walk each instance's solo trajectory)
+        accept = ((~done) & (~grad_conv) & (~step_conv) & (~bad)
+                  & (trial_cost < cost))
         change = jnp.abs(cost - trial_cost)
         cost_conv = accept & (change <= cost_tolerance)
 
@@ -413,23 +483,26 @@ def solve_banded_lm(
         new_damping = jnp.where(
             accept, jnp.maximum(damping * 0.3, 1e-15),
             jnp.minimum(damping * 10.0, 1e15))
-        new_damping = jnp.where(grad_conv | step_conv | bad, damping,
-                                new_damping)
+        new_damping = jnp.where(done | grad_conv | step_conv | bad,
+                                damping, new_damping)
         new_term = jnp.where(
-            grad_conv, 1,
-            jnp.where(bad, 4,
-                      jnp.where(step_conv, 2,
-                                jnp.where(cost_conv, 3, 0)))).astype(
-                                    jnp.int32)
-        new_done = grad_conv | step_conv | cost_conv | bad
-        return (new_values, new_damping, new_cost, it + 1,
+            done, term,
+            jnp.where(
+                grad_conv, 1,
+                jnp.where(bad, 4,
+                          jnp.where(step_conv, 2,
+                                    jnp.where(cost_conv, 3, 0))))).astype(
+                                        jnp.int32)
+        new_done = done | grad_conv | step_conv | cost_conv | bad
+        return (new_values, new_damping, new_cost,
+                it + (~done).astype(jnp.int32),
                 accepted + accept.astype(jnp.int32), new_term, new_done)
 
     def cond(carry):
         _, _, _, it, _, _, done = carry
         return (~done) & (it < max_iterations)
 
-    damping0 = jnp.asarray(initial_damping, f_)
+    damping0 = jnp.asarray(initial_damping, values_b.dtype)
     # full-f32 matmul passes (MXU bf16-pass default costs ~10x RMSE on the
     # 10k benchmarks — measured on the chain solver, same blocks here)
     with jax.default_matmul_precision("float32"):
@@ -458,7 +531,7 @@ def solve_general_graph(values0, edges_from, edges_to, measurements,
     et = np.asarray(edges_to)
     meas = np.asarray(measurements)
     info = None if information is None else np.asarray(information)
-    plan = plan_banded(n, ef, et, max_supernode)
+    plan = plan_banded(n, ef, et, max_supernode, tdim=tdim)
     f = values0.dtype
 
     # permute nodes into banded order

@@ -54,6 +54,13 @@ def inv_spd(m):
     # 12.3 ms) at the same achieved accuracy (cyclic reduction's Schur
     # complements of an SPD system stay SPD, so every sub-block the
     # recursion inverts is SPD).
+    # CONDITIONING ENVELOPE (measured, f64, d=96-384): residual ~1e-13
+    # at kappa=1e3, ~1.5e-9 at kappa=1e4, but the recursion loses to a
+    # Cholesky inverse rapidly beyond — ~1e-1 at kappa=1e6 (LAPACK:
+    # 6e-11). The damped GN blocks the ladder feeds it are far inside
+    # kappa~1e4 (tests/test_tridiag.py pins the measured bound); for
+    # verification-grade ill-conditioned systems use the f64 dense
+    # island or the chain path's `refine`.
     h = d // 2
     a = m[..., :h, :h]
     b = m[..., :h, h:]
@@ -117,6 +124,86 @@ def _from_soa(x):
     return jnp.moveaxis(x, -1, 0)
 
 
+def _soa_mm(a, b):
+    """Block product on SoA operands: [da, dk, m] x [dk, db, m] ->
+    [da, db, m], lanes (m) as the contraction batch. Lowers to d³
+    multiply-adds over lane vectors — dense VPU work with NO [*, d, d]
+    minor-dim tiling (an AoS [m, 3, 3] batched matmul makes XLA pick a
+    T(4,128) tile on the trailing [3, 3] dims = 57x memory padding,
+    measured OOM at 1M poses)."""
+    return jnp.einsum("ikm,kjm->ijm", a, b)
+
+
+def _soa_inv_spd(m):
+    """SPD inverse on SoA blocks [d, d, m]: closed form for d <= 3
+    (component arithmetic over lane vectors), Schur-partition recursion
+    beyond — the lane-resident mirror of `inv_spd`."""
+    d = m.shape[0]
+    if d == 1:
+        return 1.0 / m
+    if d == 2:
+        a, b = m[0, 0], m[0, 1]
+        c, e = m[1, 0], m[1, 1]
+        inv_det = 1.0 / (a * e - b * c)
+        return inv_det * jnp.stack(
+            [jnp.stack([e, -b], 0), jnp.stack([-c, a], 0)], 0)
+    if d == 3:
+        a, b, c = m[0, 0], m[0, 1], m[0, 2]
+        dd, e, f = m[1, 0], m[1, 1], m[1, 2]
+        g, h, i = m[2, 0], m[2, 1], m[2, 2]
+        co00 = e * i - f * h
+        co01 = c * h - b * i
+        co02 = b * f - c * e
+        co10 = f * g - dd * i
+        co11 = a * i - c * g
+        co12 = c * dd - a * f
+        co20 = dd * h - e * g
+        co21 = b * g - a * h
+        co22 = a * e - b * dd
+        det = a * co00 + b * co10 + c * co20
+        adj = jnp.stack([
+            jnp.stack([co00, co01, co02], 0),
+            jnp.stack([co10, co11, co12], 0),
+            jnp.stack([co20, co21, co22], 0),
+        ], 0)
+        return adj / det
+    h = d // 2
+    a = m[:h, :h]
+    b = m[:h, h:]
+    c = m[h:, h:]
+    a_inv = _soa_inv_spd(a)
+    ainv_b = _soa_mm(a_inv, b)
+    s = c - _soa_mm(jnp.swapaxes(b, 0, 1), ainv_b)
+    s_inv = _soa_inv_spd(s)
+    tl = a_inv + _soa_mm(_soa_mm(ainv_b, s_inv),
+                         jnp.swapaxes(ainv_b, 0, 1))
+    tr = -_soa_mm(ainv_b, s_inv)
+    top = jnp.concatenate([tl, tr], axis=1)
+    bottom = jnp.concatenate([jnp.swapaxes(tr, 0, 1), s_inv], axis=1)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
+def _reduce_level_soa(b, a, c, d, f_):
+    """One cyclic-reduction level on SoA arrays [d, d, m] (m even,
+    lanes minor) — the scan-tail body. Returns (stored SoA level,
+    reduced (b, a, c)) at half lane length."""
+    be, bo = b[..., 0::2], b[..., 1::2]
+    ae, ao = a[..., 0::2], a[..., 1::2]
+    ce, co = c[..., 0::2], c[..., 1::2]
+    e_inv = _soa_inv_spd(be)
+    eye_tail = jnp.eye(d, dtype=f_)[..., None]
+    zero_tail = jnp.zeros((d, d, 1), f_)
+    e_inv_r = jnp.concatenate([e_inv[..., 1:], eye_tail], -1)
+    ae_r = jnp.concatenate([ae[..., 1:], zero_tail], -1)
+    ce_r = jnp.concatenate([ce[..., 1:], zero_tail], -1)
+    g = _soa_mm(ao, e_inv)
+    hh = _soa_mm(co, e_inv_r)
+    b_new = bo - _soa_mm(g, ce) - _soa_mm(hh, ae_r)
+    a_new = -_soa_mm(g, ae)
+    c_new = -_soa_mm(hh, ce_r)
+    return (e_inv, ae, ce, g, hh), (b_new, a_new, c_new)
+
+
 def _reduce_level(b, a, c, eye, d, f_):
     """One cyclic-reduction level on AoS arrays (length 2h -> h).
     Returns (stored level, reduced (b, a, c))."""
@@ -136,12 +223,19 @@ def _reduce_level(b, a, c, eye, d, f_):
     return (e_inv, ae, ce, g, h), (b_new, a_new, c_new)
 
 
-def block_tridiag_factor(diag, upper):
+def block_tridiag_factor(diag, upper, tail_threshold=None):
     """Factor T (diag [n, d, d], upper [n-1, d, d]) by cyclic reduction:
     log2(n) levels of batched block inverses and matmuls (hybrid
     unroll+scan schedule — see CRFactor). The factorization is
     independent of the right-hand side — pair with `block_tridiag_apply`
-    to solve for many (possibly chunked) RHS without refactoring."""
+    to solve for many (possibly chunked) RHS without refactoring.
+
+    tail_threshold: override the unroll/scan handoff length. The chunked
+    SPIKE path passes the full (padded) length so EVERY level runs in
+    the uniform SoA scan: under vmap over chunks the unrolled AoS
+    [C, m_i, d, d] levels trigger a catastrophic XLA tiling choice
+    (T(4,128) on the trailing [3, 3] dims = 57x padding — measured OOM
+    at 1M poses), while the scan's [d, d, m] SoA carries tile densely."""
     n, d, _ = diag.shape
     f_ = diag.dtype
     eye = jnp.eye(d, dtype=f_)
@@ -162,7 +256,10 @@ def block_tridiag_factor(diag, upper):
     # handful of matmul ops (compile-cheap) while the uniform-scan tail
     # would redo full-length batched inverses at every level (3x the
     # arithmetic — measured 2x factor time on the 100x100 grid).
-    tail_m = _TAIL_M if d <= 8 else 1
+    if tail_threshold is not None:
+        tail_m = max(int(tail_threshold), 1)
+    else:
+        tail_m = _TAIL_M if d <= 8 else 1
     top = []
     m_cur = m
     while m_cur > tail_m:
@@ -177,23 +274,21 @@ def block_tridiag_factor(diag, upper):
         return CRFactor(tuple(top), (z, z, z, z, z), inv_spd(b)[0])
 
     h2 = m_cur // 2
-    pad_eye = jnp.broadcast_to(eye, (h2, d, d))
-    pad_zero = jnp.zeros((h2, d, d), f_)
+    pad_eye_soa = jnp.broadcast_to(eye[..., None], (d, d, h2))
+    pad_zero_soa = jnp.zeros((d, d, h2), f_)
 
     def level_step(carry, _):
-        b, a, c = map(_from_soa, carry)  # AoS inside the fused body
-        level, (b_new, a_new, c_new) = _reduce_level(b, a, c, eye, d, f_)
-        b_new = jnp.concatenate([b_new, pad_eye], 0)
-        a_new = jnp.concatenate([a_new, pad_zero], 0)
-        c_new = jnp.concatenate([c_new, pad_zero], 0)
-        return (tuple(map(_to_soa, (b_new, a_new, c_new))),
-                tuple(map(_to_soa, level)))
+        b, a, c = carry  # SoA [d, d, m_t] throughout (see _soa_mm)
+        level, (b_new, a_new, c_new) = _reduce_level_soa(b, a, c, d, f_)
+        b_new = jnp.concatenate([b_new, pad_eye_soa], -1)
+        a_new = jnp.concatenate([a_new, pad_zero_soa], -1)
+        c_new = jnp.concatenate([c_new, pad_zero_soa], -1)
+        return (b_new, a_new, c_new), level
 
     carry0 = tuple(map(_to_soa, (b, a, c)))
     (b_soa, _, _), tail = jax.lax.scan(
         level_step, carry0, None, length=tail_levels)
-    b_final = _from_soa(b_soa)
-    return CRFactor(tuple(top), tail, inv_spd(b_final[0:1])[0])
+    return CRFactor(tuple(top), tail, inv_spd(b_soa[..., 0][None])[0])
 
 
 def block_tridiag_apply(factor: CRFactor, rhs):
@@ -215,44 +310,47 @@ def block_tridiag_apply(factor: CRFactor, rhs):
         top_fes.append(fe)
         f = fo - g @ fe - h @ fe_r
 
-    # --- forward: scanned tail -------------------------------------------
+    # --- forward: scanned tail (SoA bodies — see _soa_mm) -----------------
     tail_levels = factor.tail[0].shape[0]
     if tail_levels:
         h2 = factor.tail[0].shape[-1]
         m_t = 2 * h2
-        pad_zero = jnp.zeros((h2, d, r), f_)
+        pad_zero_soa = jnp.zeros((d, r, h2), f_)
+        zero_col = jnp.zeros((d, r, 1), f_)
 
         def fwd(f_soa, level):
-            f = _from_soa(f_soa)
-            g, h = (_from_soa(x) for x in level[3:])
-            fe, fo = f[0::2], f[1::2]
-            fe_r = jnp.concatenate([fe[1:], jnp.zeros((1, d, r), f_)], 0)
-            f_new = jnp.concatenate([fo - g @ fe - h @ fe_r, pad_zero], 0)
-            return _to_soa(f_new), _to_soa(fe)
+            g, h = level[3], level[4]
+            fe, fo = f_soa[..., 0::2], f_soa[..., 1::2]
+            fe_r = jnp.concatenate([fe[..., 1:], zero_col], -1)
+            f_new = jnp.concatenate(
+                [fo - _soa_mm(g, fe) - _soa_mm(h, fe_r), pad_zero_soa],
+                -1)
+            return f_new, fe
 
         f_soa, tail_fes = jax.lax.scan(fwd, _to_soa(f), factor.tail)
-        f = _from_soa(f_soa)
+        f0 = f_soa[..., 0]
+    else:
+        f0 = f[0]
 
-    x0 = factor.root_inv @ f[0]  # [d, r]
+    x0 = factor.root_inv @ f0  # [d, r]
 
     # --- backward: scanned tail ------------------------------------------
     if tail_levels:
-        x = jnp.zeros((m_t, d, r), f_).at[0].set(x0)
+        x = jnp.zeros((d, r, m_t), f_).at[..., 0].set(x0)
 
         def bwd(x_soa, level_and_fe):
-            level, fe_soa = level_and_fe
-            e_inv, ae, ce = (_from_soa(x) for x in level[:3])
-            fe = _from_soa(fe_soa)
-            x = _from_soa(x_soa)
-            x_odd = x[:h2]
-            xl = jnp.concatenate(
-                [jnp.zeros((1, d, r), f_), x_odd[:-1]], 0)  # x_odd[j'-1]
-            x_even = e_inv @ (fe - ae @ xl - ce @ x_odd)
-            x_new = jnp.stack([x_even, x_odd], axis=1).reshape(m_t, d, r)
-            return _to_soa(x_new), None
+            level, fe = level_and_fe
+            e_inv, ae, ce = level[0], level[1], level[2]
+            x_odd = x_soa[..., :h2]
+            xl = jnp.concatenate([zero_col, x_odd[..., :-1]], -1)
+            x_even = _soa_mm(
+                e_inv, fe - _soa_mm(ae, xl) - _soa_mm(ce, x_odd))
+            x_new = jnp.stack([x_even, x_odd], axis=-1).reshape(
+                d, r, m_t)
+            return x_new, None
 
         x_soa, _ = jax.lax.scan(
-            bwd, _to_soa(x), (factor.tail, tail_fes), reverse=True)
+            bwd, x, (factor.tail, tail_fes), reverse=True)
         x = _from_soa(x_soa)
     else:
         x = x0[None]
@@ -268,6 +366,117 @@ def block_tridiag_apply(factor: CRFactor, rhs):
         x = jnp.stack([x_even, x_odd], axis=1).reshape(2 * h_lvl, d, r)
 
     return x[:n]
+
+
+class ChunkedFactor(NamedTuple):
+    """SPIKE-partitioned single-chip factorization of T (VERDICT r4 #2:
+    the 1M-pose unrolled ladder exhausts the AOT compile workspace; C
+    chunks keep the compiled ladder at the per-chunk size — the SAME
+    partitioned math as parallel/sharded_tridiag.spike_solve_local, with
+    vmap over chunks instead of shard_map over devices)."""
+
+    fac: CRFactor          # vmapped ladder factors, leaves lead with [C]
+    w: jnp.ndarray         # [C, d, d, m] SoA left spikes T_c⁻¹(e_first A_c)
+    v: jnp.ndarray         # [C, d, d, m] SoA right spikes T_c⁻¹(e_last C_c)
+    imat: jnp.ndarray      # [2C·d, 2C·d] interface system
+    n: int                 # original (unpadded) row count
+
+
+def chunked_tridiag_factor(diag, upper, chunks):
+    """Factor T (diag [n, d, d], upper [n-1, d, d]) in `chunks`
+    contiguous row chunks: each chunk runs the ladder at
+    m = ceil(n/chunks) rows (vmapped over chunks) ENTIRELY in the
+    uniform SoA scan schedule (tail_threshold=m — the vmapped unrolled
+    AoS levels hit a 57x XLA padding blowup, see block_tridiag_factor),
+    the two per-chunk spikes come from one extra 2d-column ladder apply
+    (stored SoA for the same reason), and the coupled interface system
+    over the 2C chunk-boundary rows is assembled once.
+    Pair with `chunked_tridiag_apply`."""
+    n, d, _ = diag.shape
+    f_ = diag.dtype
+    c_n = chunks
+    m = -(-n // c_n)
+    n_pad = c_n * m
+    pad = n_pad - n
+    eye = jnp.eye(d, dtype=f_)
+    diag_p = jnp.concatenate(
+        [diag, jnp.broadcast_to(eye, (pad, d, d))], 0) if pad else diag
+    upper_p = jnp.concatenate(
+        [upper, jnp.zeros((n_pad - 1 - upper.shape[0], d, d), f_)], 0) \
+        if upper.shape[0] < n_pad - 1 else upper
+    # chunk-internal uppers [C, m-1, d, d] and boundary couplings:
+    # upper_p[c*m - 1] couples chunk c-1's last row to chunk c's first
+    diag_c = diag_p.reshape(c_n, m, d, d)
+    up_full = jnp.concatenate([upper_p, jnp.zeros((1, d, d), f_)],
+                              0).reshape(c_n, m, d, d)
+    upper_int = up_full[:, :m - 1]
+    bound = up_full[:, m - 1]                      # [C, d, d]
+    a_left = jnp.concatenate(
+        [jnp.zeros((1, d, d), f_),
+         jnp.swapaxes(bound[:-1], -1, -2)], 0)     # [C, d, d]
+    c_right = jnp.concatenate(
+        [bound[:-1], jnp.zeros((1, d, d), f_)], 0)
+
+    m_pow2 = 1 if m == 1 else 1 << (m - 1).bit_length()
+    fac = jax.vmap(
+        lambda dg, up: block_tridiag_factor(dg, up,
+                                            tail_threshold=m_pow2))(
+        diag_c, upper_int)
+    rhs_wv = jnp.zeros((c_n, m, d, 2 * d), f_)
+    rhs_wv = rhs_wv.at[:, 0, :, :d].set(a_left)
+    rhs_wv = rhs_wv.at[:, m - 1, :, d:].set(c_right)
+    sol = jnp.moveaxis(jax.vmap(block_tridiag_apply)(fac, rhs_wv),
+                       1, -1)                      # SoA [C, d, 2d, m]
+    w = sol[:, :, :d]
+    v = sol[:, :, d:]
+
+    # interface system over z = [x_0^top, x_0^bot, ..., x_{C-1}^bot]
+    idx = jnp.arange(c_n)
+    mat = jnp.zeros((2 * c_n, d, 2 * c_n, d), f_)
+    mat = mat.at[2 * idx, :, 2 * idx, :].set(
+        jnp.broadcast_to(eye, (c_n, d, d)))
+    mat = mat.at[2 * idx + 1, :, 2 * idx + 1, :].set(
+        jnp.broadcast_to(eye, (c_n, d, d)))
+    if c_n > 1:
+        k = idx[1:]
+        mat = mat.at[2 * k, :, 2 * (k - 1) + 1, :].set(w[1:, :, :, 0])
+        mat = mat.at[2 * k + 1, :, 2 * (k - 1) + 1, :].set(
+            w[1:, :, :, m - 1])
+        k = idx[:-1]
+        mat = mat.at[2 * k, :, 2 * (k + 1), :].set(v[:-1, :, :, 0])
+        mat = mat.at[2 * k + 1, :, 2 * (k + 1), :].set(
+            v[:-1, :, :, m - 1])
+    imat = mat.reshape(2 * c_n * d, 2 * c_n * d)
+    return ChunkedFactor(fac, w, v, imat, n)
+
+
+def chunked_tridiag_apply(factor: ChunkedFactor, rhs):
+    """Apply T⁻¹ to rhs [n, d, r] with a `chunked_tridiag_factor`
+    result: vmapped per-chunk ladder applies, one (2C·d)² interface
+    solve, local spike correction."""
+    c_n, d, _, m = factor.w.shape
+    n = factor.n
+    r = rhs.shape[-1]
+    f_ = rhs.dtype
+    pad = c_n * m - n
+    rhs_p = jnp.concatenate(
+        [rhs, jnp.zeros((pad, d, r), f_)], 0) if pad else rhs
+    g = jnp.moveaxis(
+        jax.vmap(block_tridiag_apply)(factor.fac,
+                                      rhs_p.reshape(c_n, m, d, r)),
+        1, -1)                                      # SoA [C, d, r, m]
+    rhs_z = jnp.stack([g[..., 0], g[..., m - 1]], axis=1).reshape(
+        2 * c_n, d, r)
+    z = jnp.linalg.solve(
+        factor.imat, rhs_z.reshape(2 * c_n * d, r)).reshape(
+        2 * c_n, d, r)
+    zero = jnp.zeros((1, d, r), f_)
+    xb_left = jnp.concatenate([zero, z[1::2][:-1]], 0)   # [C, d, r]
+    xt_right = jnp.concatenate([z[0::2][1:], zero], 0)
+    x = (g - jnp.einsum("ctsm,csr->ctrm", factor.w, xb_left)
+         - jnp.einsum("ctsm,csr->ctrm", factor.v, xt_right))
+    # [C, d, r, m] SoA -> [C, m, d, r] -> [n, d, r]
+    return jnp.moveaxis(x, -1, 1).reshape(c_n * m, d, r)[:n]
 
 
 def block_tridiag_solve(diag, upper, rhs):
@@ -383,7 +592,8 @@ def build_w_inv(loop_info, num_l, rdim, dtype):
 
 
 def chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to, w_inv,
-                         rhs_vec, w_blocks=None, refine=0):
+                         rhs_vec, w_blocks=None, refine=0,
+                         chunk_bytes=None, chunks=0):
     """x = (T + U W Uᵀ)⁻¹ rhs_vec for an assembled chain system.
 
     bd [n,t,t] damped/fixed-adjusted diagonal blocks, c [n-1,t,t] super-
@@ -398,28 +608,50 @@ def chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to, w_inv,
     systems (large-workspace SE(3) chains) where the factorization's
     κ·ε solve error dominates. Requires `w_blocks` [L, r, r] (the loop
     information blocks; identity if None) when loops are present and
-    refine > 0, since the H matvec applies W itself rather than W⁻¹."""
+    refine > 0, since the H matvec applies W itself rather than W⁻¹.
+
+    chunk_bytes: per-chunk memory budget for the streamed column solve;
+    None reads the module default WOODBURY_CHUNK_BYTES at trace time
+    (note: changing the module global after a solver has been traced has
+    no effect until its jit cache is cleared — pass the budget
+    explicitly, e.g. solve_chain_lm(woodbury_chunk_bytes=...), when
+    tuning)."""
     n, tdim, _ = bd.shape
     f_ = bd.dtype
-    fac = block_tridiag_factor(bd, c)
+    if chunks and chunks > 1:
+        fac_c = chunked_tridiag_factor(bd, c, chunks)
+        t_apply = lambda rhs: chunked_tridiag_apply(fac_c, rhs)
+    else:
+        fac = block_tridiag_factor(bd, c)
+        t_apply = lambda rhs: block_tridiag_apply(fac, rhs)
     if jac_loop is None:
-        x = block_tridiag_apply(fac, rhs_vec[..., None])[..., 0]
+        x = t_apply(rhs_vec[..., None])[..., 0]
         for _ in range(refine):
             tx = jnp.einsum("nij,nj->ni", bd, x)
             tx = tx.at[:-1].add(jnp.einsum("nij,nj->ni", c, x[1:]))
             tx = tx.at[1:].add(jnp.einsum("nji,nj->ni", c, x[:-1]))
-            x = x + block_tridiag_apply(
-                fac, (rhs_vec - tx)[..., None])[..., 0]
+            x = x + t_apply((rhs_vec - tx)[..., None])[..., 0]
         return x
     ji_l, jj_l = jac_loop
     num_l = loop_from.shape[0]
     rdim = ji_l.shape[1]
     k_w = num_l * rdim
 
-    m_pow2 = 1 if n == 1 else 1 << (n - 1).bit_length()
-    _bytes_per_edge = 3 * (2 * m_pow2) * 8 * 4 * rdim
-    cs_edges = max(1, min(num_l,
-                          WOODBURY_CHUNK_BYTES // _bytes_per_edge))
+    if chunks and chunks > 1:
+        # SPIKE-chunked ladder: the all-scan tail stores per-level
+        # forward state at FULL padded length (L_t levels x m/2 rows per
+        # chunk), not the unrolled ladder's geometric 2m total — size
+        # the edge chunks by that footprint
+        m_loc = -(-n // chunks)
+        m_loc_p2 = 1 if m_loc == 1 else 1 << (m_loc - 1).bit_length()
+        lt = max((m_loc_p2 - 1).bit_length(), 1)
+        eff_rows = chunks * lt * max(m_loc_p2 // 2, 1)
+    else:
+        m_pow2 = 1 if n == 1 else 1 << (n - 1).bit_length()
+        eff_rows = 2 * m_pow2
+    _bytes_per_edge = 3 * eff_rows * 8 * 4 * rdim
+    budget = WOODBURY_CHUNK_BYTES if chunk_bytes is None else chunk_bytes
+    cs_edges = max(1, min(num_l, budget // _bytes_per_edge))
     nc_edges = -(-num_l // cs_edges)
 
     def ut_apply(z):
@@ -440,7 +672,7 @@ def chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to, w_inv,
         rhs = jnp.zeros((n, tdim, cs_edges * rdim), f_)
         rhs = rhs.at[ef_c[:, None], :, cols].add(ji_c)
         rhs = rhs.at[et_c[:, None], :, cols].add(jj_c)
-        return ut_apply(block_tridiag_apply(fac, rhs))
+        return ut_apply(t_apply(rhs))
 
     pad_e = nc_edges * cs_edges - num_l
 
@@ -468,13 +700,13 @@ def chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to, w_inv,
         return out
 
     def solve_once(b_vec):
-        y0 = block_tridiag_apply(fac, b_vec[..., None])[..., 0]
+        y0 = t_apply(b_vec[..., None])[..., 0]
         rhs_c = ut_apply(y0[..., None])[:, 0]
         coef = jnp.linalg.solve(s, rhs_c)
         # correction T⁻¹ (U coef) via one more ladder apply; U coef is
         # assembled sparsely from the edge Jacobians
         u_coef = u_scatter(coef.reshape(num_l, rdim))
-        return y0 - block_tridiag_apply(fac, u_coef[..., None])[..., 0]
+        return y0 - t_apply(u_coef[..., None])[..., 0]
 
     x = solve_once(rhs_vec)
     if refine:
@@ -510,7 +742,8 @@ TERMINATION_NAMES = {0: "max_iterations", 1: "gradient_converged",
     jax.jit,
     static_argnames=("residual_fn", "retract_fn", "tdim", "max_iterations",
                      "gradient_tolerance", "step_tolerance",
-                     "cost_tolerance", "initial_damping", "refine"),
+                     "cost_tolerance", "initial_damping", "refine",
+                     "woodbury_chunk_bytes", "chunks", "rdim"),
 )
 def solve_chain_lm(
     values0,
@@ -531,6 +764,9 @@ def solve_chain_lm(
     cost_tolerance: float = 1e-12,
     initial_damping: float = 1e-3,
     refine: int = 0,
+    woodbury_chunk_bytes: int | None = None,
+    chunks: int = 0,
+    rdim: int | None = None,
 ):
     """Device-resident LM over a chain factor graph with loop closures.
 
@@ -541,6 +777,15 @@ def solve_chain_lm(
     fixed_mask: [n] bool — fixed nodes take zero increment
 
     residual_fn(xi, xj, meas) -> [rdim]; retract_fn(x, delta) -> x'.
+    woodbury_chunk_bytes: explicit (static) per-chunk budget for the
+    streamed loop-closure column solve — the supported way to tune chunk
+    sizing (the module-level WOODBURY_CHUNK_BYTES default is read at
+    trace time, so mutating it after a first solve silently has no
+    effect until solve_chain_lm.clear_cache()).
+    chunks: > 1 routes the block-tridiagonal solve through the
+    single-chip SPIKE partition (`chunked_tridiag_factor/apply`) — C
+    chunks keep the compiled ladder at n/C rows, breaking the ~250k-pose
+    AOT compile ceiling (the 1M-pose path); 0/1 uses the plain ladder.
     Returns (values [n, dim], ChainSummary of device scalars).
 
     Mirrors solver.rs:81-188 exactly: linearize -> gradient check -> solve
@@ -549,7 +794,11 @@ def solve_chain_lm(
     """
     n, _ = values0.shape
     num_l = loop_from.shape[0]
-    rdim = chain_meas.shape[-1]
+    # rdim: residual dimension — defaults to the measurement width, but
+    # packed measurement encodings (e.g. the anchored SE(3) path's
+    # [z_tangent | anchor_rel] 12-vectors with 6-dim residuals) pass it
+    # explicitly
+    rdim = chain_meas.shape[-1] if rdim is None else rdim
     f_ = values0.dtype
 
     fixed = fixed_mask
@@ -588,7 +837,9 @@ def solve_chain_lm(
         bd = jnp.where(fixed[:, None, None], eye_t, bd)
         return chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to,
                                     w_inv, -grad, w_blocks=w_blocks,
-                                    refine=refine)
+                                    refine=refine,
+                                    chunk_bytes=woodbury_chunk_bytes,
+                                    chunks=chunks)
 
     def apply_step(values, delta):
         delta = jnp.where(fixed[:, None], 0.0, delta)
@@ -607,7 +858,12 @@ def solve_chain_lm(
 
         trial = apply_step(values, delta)
         trial_cost = cost_only(trial)
-        accept = (~grad_conv) & (~step_conv) & (~bad) & (trial_cost < cost)
+        # ~done: under vmap the while_loop runs lock-step until the
+        # SLOWEST instance finishes — converged instances must FREEZE
+        # (same trajectory as a solo solve), not keep taking steps
+        # (VERDICT r4 #5)
+        accept = ((~done) & (~grad_conv) & (~step_conv) & (~bad)
+                  & (trial_cost < cost))
         change = jnp.abs(cost - trial_cost)
         cost_conv = accept & (change <= cost_tolerance)
 
@@ -617,16 +873,19 @@ def solve_chain_lm(
         new_damping = jnp.where(
             accept, jnp.maximum(damping * 0.3, 1e-15),
             jnp.minimum(damping * 10.0, 1e15))
-        new_damping = jnp.where(grad_conv | step_conv | bad, damping,
-                                new_damping)
+        new_damping = jnp.where(done | grad_conv | step_conv | bad,
+                                damping, new_damping)
         new_term = jnp.where(
-            grad_conv, 1,
-            jnp.where(bad, 4,
-                      jnp.where(step_conv, 2,
-                                jnp.where(cost_conv, 3, 0)))).astype(
-                                    jnp.int32)
-        new_done = grad_conv | step_conv | cost_conv | bad
-        return (new_values, new_damping, new_cost, it + 1,
+            done, term,
+            jnp.where(
+                grad_conv, 1,
+                jnp.where(bad, 4,
+                          jnp.where(step_conv, 2,
+                                    jnp.where(cost_conv, 3, 0))))).astype(
+                                        jnp.int32)
+        new_done = done | grad_conv | step_conv | cost_conv | bad
+        return (new_values, new_damping, new_cost,
+                it + (~done).astype(jnp.int32),
                 accepted + accept.astype(jnp.int32), new_term, new_done)
 
     def cond(carry):

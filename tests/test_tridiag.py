@@ -37,6 +37,79 @@ def test_block_tridiag_solve_matches_dense(n, d, r):
     np.testing.assert_allclose(got.reshape(n * d, r), expect, atol=1e-8)
 
 
+@pytest.mark.parametrize("n,d,r,chunks", [(37, 3, 2, 4), (64, 3, 1, 8),
+                                          (100, 6, 3, 5), (9, 4, 2, 3),
+                                          (16, 3, 2, 1)])
+def test_chunked_tridiag_matches_plain_ladder(n, d, r, chunks):
+    """Single-chip SPIKE chunking (the 1M-pose compile-ceiling fix,
+    VERDICT r4 #2) must reproduce the plain cyclic-reduction solve to
+    machine precision, including non-divisible chunk padding."""
+    from rust_robotics_tpu.nlls.tridiag import (
+        chunked_tridiag_apply,
+        chunked_tridiag_factor,
+    )
+
+    rng = np.random.default_rng(3)
+    b = rng.normal(size=(n, d, d))
+    b = b @ b.transpose(0, 2, 1) + 5 * np.eye(d)
+    c = 0.3 * rng.normal(size=(n - 1, d, d))
+    f = rng.normal(size=(n, d, r))
+    expect = np.asarray(block_tridiag_solve(
+        jnp.asarray(b), jnp.asarray(c), jnp.asarray(f)))
+    fac = chunked_tridiag_factor(jnp.asarray(b), jnp.asarray(c), chunks)
+    got = np.asarray(chunked_tridiag_apply(fac, jnp.asarray(f)))
+    np.testing.assert_allclose(got, expect, atol=1e-9)
+
+
+def test_chain_lm_chunks_matches_unchunked():
+    """solve_chain_lm(chunks=8) must walk the IDENTICAL LM trajectory as
+    the plain solve (same iteration count, poses to fp round-off) —
+    chain + loop closures, so the chunked ladder also carries the
+    streamed Woodbury applies."""
+    from rust_robotics_tpu.nlls.tridiag import solve_chain_lm
+    from rust_robotics_tpu.slam.pose_graph import (
+        se2_edge_residual,
+        se2_retract,
+    )
+
+    n = 500
+    truth, initial, ef, et, meas, info = synthesize_chain(n)
+    cm, ci, lf, lt, lm, li = classify_chain_edges(n, ef, et, meas, info)
+    fixed = jnp.zeros((n,), bool).at[0].set(True)
+    kw = dict(residual_fn=se2_edge_residual, retract_fn=se2_retract,
+              tdim=3, max_iterations=25, gradient_tolerance=1e-10,
+              step_tolerance=1e-10, cost_tolerance=1e-16)
+    args = (jnp.asarray(initial), jnp.asarray(cm), jnp.asarray(ci),
+            jnp.asarray(lf, jnp.int32), jnp.asarray(lt, jnp.int32),
+            jnp.asarray(lm), jnp.asarray(li), fixed)
+    out0, s0 = solve_chain_lm(*args, **kw)
+    out8, s8 = solve_chain_lm(*args, chunks=8, **kw)
+    assert int(s0.iterations) == int(s8.iterations)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out0),
+                               atol=1e-10)
+    assert rmse(np.asarray(out8), truth) < 5e-3
+
+
+def test_inv_spd_ill_conditioned_fat_block():
+    """ADVICE r4: pin the recursive-Schur inv_spd's accuracy on an
+    ill-conditioned fat supernodal block (d=96, the banded solver's
+    block class). MEASURED conditioning behavior (f64): residual
+    ~1.5e-9 at kappa=1e4, but the half-split Schur recursion degrades
+    much faster than LAPACK beyond that (~1e-1 at kappa=1e6 vs LAPACK
+    6e-11) — inv_spd's docstring documents the kappa <~ 1e4 envelope;
+    the damped GN Schur complements the ladder actually inverts sit
+    well inside it (the 10k-grid bench lands RMSE 8.5e-6)."""
+    rng = np.random.default_rng(11)
+    d = 96
+    q, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    eigs = np.logspace(0, 4, d)  # condition number 1e4
+    m = (q * eigs) @ q.T
+    m = 0.5 * (m + m.T)
+    inv = np.asarray(inv_spd(jnp.asarray(m[None])))[0]
+    resid = np.max(np.abs(inv @ m - np.eye(d)))
+    assert resid < 1e-6, resid  # measured 1.5e-9; 600x headroom
+
+
 def test_inv_spd_six_dim():
     rng = np.random.default_rng(1)
     m = rng.normal(size=(7, 6, 6))
@@ -340,3 +413,130 @@ def test_chain_direct_random_property_sweep():
         # tolerance
         np.testing.assert_allclose(np.asarray(chain), np.asarray(dense),
                                    atol=1e-4, err_msg=f"seed {seed}")
+
+
+def test_se3_anchored_f32_small_matches_dense():
+    """The deviation-space anchored residual must reproduce the plain
+    SE(3) optimum (same graph, small size, f64 so the comparison is
+    exact-arithmetic-grade)."""
+    from rust_robotics_tpu.demos.pose_graph_bench import (
+        se3_position_rmse,
+        synthesize_se3_chain,
+    )
+    from rust_robotics_tpu.slam.pose_graph import optimize_pose_graph_3d
+
+    truth_t, tm, initial_t, ef, et, meas, info = synthesize_se3_chain(
+        60, loop_stride=20)
+    plain, _ = optimize_pose_graph_3d(
+        jnp.asarray(initial_t), ef, et, jnp.asarray(meas),
+        jnp.asarray(info), max_iterations=30, tolerance=1e-12,
+        linear_solver="chain_direct")
+    anch, summ = optimize_pose_graph_3d(
+        jnp.asarray(initial_t), ef, et, jnp.asarray(meas),
+        jnp.asarray(info), max_iterations=30, tolerance=1e-12,
+        linear_solver="chain_direct", anchored=True)
+    assert se3_position_rmse(np.asarray(anch), tm) < 1e-9
+    assert se3_position_rmse(np.asarray(plain), tm) < 1e-9
+    assert summ.termination != "numerical_failure"
+
+
+@pytest.mark.slow
+def test_se3_anchored_f32_1k_beats_plain_floor():
+    """VERDICT r4 #3: anchored deviation-space f32 at n=1000 must land
+    ~1e-7 position RMSE — through the old plain-f32 ~2e-5 floor, in the
+    f64 island's accuracy class (measured 3.5e-7)."""
+    from rust_robotics_tpu.demos.pose_graph_bench import (
+        se3_position_rmse,
+        synthesize_se3_chain,
+    )
+    from rust_robotics_tpu.slam.pose_graph import optimize_pose_graph_3d
+
+    truth_t, tm, initial_t, ef, et, meas, info = synthesize_se3_chain(
+        1000)
+    out, summ = optimize_pose_graph_3d(
+        jnp.asarray(initial_t, jnp.float32), ef, et,
+        jnp.asarray(meas, jnp.float32), jnp.asarray(info, jnp.float32),
+        max_iterations=25, tolerance=1e-10,
+        linear_solver="chain_direct", anchored=True)
+    err = se3_position_rmse(np.asarray(out), tm)
+    assert err < 2e-6, err  # measured 3.5e-7; old plain-f32 floor 2e-5
+    assert summ.termination == "gradient_converged"
+
+
+@pytest.mark.slow
+def test_se3_anchored_f32_10k_closes_accuracy_island():
+    """The round-4 headline gap: 10k SE(3) chain on f32 stalled at ~1 m
+    position RMSE and was routed to the CPU f64 island. Anchored
+    deviation-space f32 must land <= 1e-4 (VERDICT r4 #3 'done'
+    criterion; measured 3.4e-5 — the f64 island is 1.0e-6)."""
+    from rust_robotics_tpu.demos.pose_graph_bench import (
+        se3_position_rmse,
+        synthesize_se3_chain,
+    )
+    from rust_robotics_tpu.slam.pose_graph import optimize_pose_graph_3d
+
+    truth_t, tm, initial_t, ef, et, meas, info = synthesize_se3_chain(
+        10000)
+    out, summ = optimize_pose_graph_3d(
+        jnp.asarray(initial_t, jnp.float32), ef, et,
+        jnp.asarray(meas, jnp.float32), jnp.asarray(info, jnp.float32),
+        max_iterations=25, tolerance=1e-10,
+        linear_solver="chain_direct", anchored=True)
+    err = se3_position_rmse(np.asarray(out), tm)
+    assert err < 1e-4, err  # measured 3.4e-5
+    assert summ.termination == "gradient_converged"
+
+
+def test_chain_vmap_freezes_converged_instances():
+    """VERDICT r4 #5: under vmap the lock-step while_loop runs until the
+    SLOWEST instance converges; early-converged instances must FREEZE —
+    identical values AND identical per-instance summaries (iterations,
+    termination) to their solo solves. Instances deliberately differ in
+    difficulty (one exact-measurement graph converges almost
+    immediately)."""
+    import functools
+
+    import jax
+
+    from rust_robotics_tpu.nlls.tridiag import solve_chain_lm
+    from rust_robotics_tpu.slam.pose_graph import (
+        se2_edge_residual,
+        se2_retract,
+    )
+
+    n = 120
+    truth, initial, ef, et, meas, info = synthesize_chain(n)
+    c_meas, c_info, l_ef, l_et, l_meas, l_info = classify_chain_edges(
+        n, ef, et, meas, info)
+    fixed = jnp.zeros((n,), bool).at[0].set(True)
+    # instance 0: starts AT the optimum (terminates in ~1 iteration);
+    # instances 1, 2: progressively harder perturbations
+    init_b = jnp.stack([
+        jnp.asarray(truth),
+        jnp.asarray(initial),
+        jnp.asarray(initial) + 0.05 * jnp.sin(
+            jnp.arange(n * 3, dtype=jnp.float64)).reshape(n, 3)
+        * jnp.asarray([1.0, 1.0, 0.1]),
+    ])
+    init_b = init_b.at[:, 0].set(jnp.asarray(truth[0]))
+
+    solve1 = functools.partial(
+        solve_chain_lm, residual_fn=se2_edge_residual,
+        retract_fn=se2_retract, tdim=3, max_iterations=30,
+        gradient_tolerance=1e-9, step_tolerance=1e-9,
+        cost_tolerance=1e-18)
+    args = (jnp.asarray(c_meas), jnp.asarray(c_info),
+            jnp.asarray(l_ef, jnp.int32), jnp.asarray(l_et, jnp.int32),
+            jnp.asarray(l_meas), jnp.asarray(l_info), fixed)
+    out_b, summ_b = jax.vmap(lambda v: solve1(v, *args))(init_b)
+    iters_b = np.asarray(summ_b.iterations)
+    assert iters_b[0] < iters_b[2], iters_b  # the easy one stopped early
+    for i in range(3):
+        out_i, summ_i = solve1(init_b[i], *args)
+        np.testing.assert_array_equal(np.asarray(out_b[i]),
+                                      np.asarray(out_i))
+        assert int(iters_b[i]) == int(summ_i.iterations)
+        assert int(np.asarray(summ_b.termination_code)[i]) == \
+            int(summ_i.termination_code)
+        assert int(np.asarray(summ_b.accepted_steps)[i]) == \
+            int(summ_i.accepted_steps)
