@@ -288,3 +288,68 @@ def se3_adjoint(m):
     top = jnp.concatenate([r, tr], axis=-1)
     bottom = jnp.concatenate([zeros, r], axis=-1)
     return jnp.concatenate([top, bottom], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Deviation-space (near-identity) SE(3) calculus
+# ---------------------------------------------------------------------------
+# Working with E = T − I instead of T keeps RELATIVE precision for
+# near-identity transforms: a homogeneous matrix stores 1 + x with
+# absolute rounding eps (so log(T) carries ~eps noise no matter how
+# small the true tangent is), while the deviation E stores x itself.
+# The anchored SE(3) solver composes edge residuals entirely in
+# E-space, so the f32 residual-evaluation noise scales DOWN with the
+# residual magnitude — the mechanism behind the 10k-pose SE(3) f32
+# accuracy fix (slam/pose_graph.py::se3_anchored_edge_residual,
+# SURVEY §7.3(5)). Series are plain polynomials: differentiable,
+# branch-free, jit/vmap-friendly.
+
+def se3_hat(xi):
+    """Tangent [..., 6] -> se(3) algebra matrix [..., 4, 4]
+    [[skew(phi), rho], [0, 0]]."""
+    rho, phi = xi[..., :3], xi[..., 3:]
+    k = skew(phi)
+    top = jnp.concatenate([k, rho[..., None]], axis=-1)
+    bottom = jnp.zeros(top[..., :1, :].shape, xi.dtype)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def se3_expm1(xi, terms: int = 10):
+    """E = exp(hat(xi)) − I via the Horner-evaluated series
+    X·(I + X/2·(I + X/3·(…))). Exact to f32 for |xi| ≲ 0.3 at the
+    default term count; inputs are small by construction in the
+    anchored solver."""
+    x = se3_hat(xi)
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=xi.dtype), x.shape)
+    s = eye
+    for k in range(terms, 1, -1):
+        s = eye + (x @ s) / k
+    return x @ s
+
+
+def se3_compose_dev(e1, e2):
+    """Deviation of the product: (I+E1)(I+E2) − I = E1 + E2 + E1·E2 —
+    no near-identity cancellation, absolute accuracy ~eps·|E|."""
+    return e1 + e2 + e1 @ e2
+
+
+def se3_logm1(e, terms: int = 10):
+    """Tangent of I+E via the matrix-log series Σ (−1)^{k+1} E^k / k
+    (the matrix log of an SE(3) element IS its se(3) algebra element).
+    phi is read from the antisymmetrized rotation block, rho from the
+    translation column. Valid for ||E|| < 1; the anchored residuals
+    keep ||E|| ≲ 0.1."""
+    l = e
+    p = e
+    sign = 1.0
+    for k in range(2, terms + 1):
+        p = p @ e
+        sign = -sign
+        l = l + (sign / k) * p
+    phi = 0.5 * jnp.stack([
+        l[..., 2, 1] - l[..., 1, 2],
+        l[..., 0, 2] - l[..., 2, 0],
+        l[..., 1, 0] - l[..., 0, 1],
+    ], axis=-1)
+    rho = l[..., :3, 3]
+    return jnp.concatenate([rho, phi], axis=-1)

@@ -13,15 +13,26 @@ import numpy as np
 
 
 def relative(a, b):
-    """benchmark_large_pose_graph.rs:11-16 (yaw left unwrapped, as in ref)."""
-    s, c = np.sin(a[2]), np.cos(a[2])
-    dx, dy = b[0] - a[0], b[1] - a[1]
-    return np.array([c * dx + s * dy, -s * dx + c * dy, b[2] - a[2]])
+    """benchmark_large_pose_graph.rs:11-16 (yaw left unwrapped, as in ref).
+    Vectorized over leading axes ([..., 3] inputs)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    s, c = np.sin(a[..., 2]), np.cos(a[..., 2])
+    dx, dy = b[..., 0] - a[..., 0], b[..., 1] - a[..., 1]
+    return np.stack(
+        [c * dx + s * dy, -s * dx + c * dy, b[..., 2] - a[..., 2]],
+        axis=-1)
 
 
-def synthesize_chain(size: int):
+def synthesize_chain(size: int, loop_stride: int = 100):
     """Returns (truth [N,3], initial [N,3], edges_from, edges_to,
-    measurements [E,3], information [E,3,3])."""
+    measurements [E,3], information [E,3,3]).
+
+    loop_stride: poses between loop closures (reference: 100,
+    benchmark_large_pose_graph.rs:47-51). The 1M-pose capacity row uses
+    a sparser stride (10000) so the Woodbury capacity system stays small
+    — at stride 100 a 1M chain would carry K=30000 closure columns,
+    which is a different (closure-dominated) workload."""
     i = np.arange(size, dtype=np.float64)
     x = i * 0.05
     truth = np.stack(
@@ -38,24 +49,26 @@ def synthesize_chain(size: int):
     )
     initial[0] = truth[0]
 
-    ef, et, meas, info = [], [], [], []
-    for f in range(size - 1):
-        ef.append(f)
-        et.append(f + 1)
-        meas.append(relative(truth[f], truth[f + 1]))
-        info.append(np.eye(3) * 100.0)
-    for f in range(0, max(size - 100, 0), 100):
-        ef.append(f)
-        et.append(f + 100)
-        meas.append(relative(truth[f], truth[f + 100]))
-        info.append(np.eye(3) * 20.0)
+    # vectorized edge construction (identical output to the per-edge loop;
+    # needed for the 1M-pose row, where a Python loop is minutes)
+    ef_c = np.arange(size - 1, dtype=np.int32)
+    et_c = ef_c + 1
+    meas_c = relative(truth[:-1], truth[1:])
+    ef_l = np.arange(0, max(size - loop_stride, 0), loop_stride,
+                     dtype=np.int32)
+    et_l = ef_l + loop_stride
+    meas_l = relative(truth[ef_l], truth[et_l])
+    info = np.concatenate([
+        np.broadcast_to(np.eye(3) * 100.0, (len(ef_c), 3, 3)),
+        np.broadcast_to(np.eye(3) * 20.0, (len(ef_l), 3, 3)),
+    ]).copy()
     return (
         truth,
         initial,
-        np.array(ef, dtype=np.int32),
-        np.array(et, dtype=np.int32),
-        np.stack(meas),
-        np.stack(info),
+        np.concatenate([ef_c, ef_l]),
+        np.concatenate([et_c, et_l]),
+        np.concatenate([meas_c, meas_l]),
+        info,
     )
 
 
@@ -168,6 +181,142 @@ def run_batched_benchmark(size=10000, batch=8, max_iterations=25,
     seconds = time.perf_counter() - t0
     worst = max(rmse(np.asarray(out[k]), truth) for k in range(batch))
     return seconds, worst, batch / seconds
+
+
+def run_batched_compaction_benchmark(size=200, batch=256, chunk_iters=6,
+                                     max_rounds=8, tolerance=1e-8,
+                                     wobble_spread=True):
+    """Batched small-graph serving WITHOUT paying the slowest instance's
+    full iteration count everywhere (VERDICT r4 #5): the vmapped LM runs
+    in `chunk_iters`-iteration rounds; after each round the CONVERGED
+    instances leave the batch and the remainder is compacted into the
+    next power-of-two bucket (bounding the number of compiled shapes).
+    Each round restarts LM damping — a standard LM restart, so the
+    per-instance solution quality is unchanged (RMSE gate asserted by
+    the caller).
+
+    wobble_spread=True makes the B problems deliberately heterogeneous
+    (perturbation scale varying 8x across the batch) so convergence
+    rounds actually differ — the serving shape where lock-step hurts.
+
+    Returns (seconds, worst_rmse, graphs_per_s, rounds_profile) with
+    rounds_profile = [(bucket_size, active_before)] per round. Timing
+    excludes compilation (one full untimed warm-up sweep compiles every
+    bucket the deterministic schedule visits)."""
+    import functools
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from rust_robotics_tpu.nlls.tridiag import (
+        classify_chain_edges,
+        solve_chain_lm,
+    )
+    from rust_robotics_tpu.slam.pose_graph import (
+        se2_edge_residual,
+        se2_retract,
+    )
+
+    truth, initial, ef, et, meas, info = synthesize_chain(size)
+    c_meas, c_info, l_ef, l_et, l_meas, l_info = classify_chain_edges(
+        size, ef, et, meas, info)
+    f = jnp.result_type(float)
+    fixed = jnp.zeros((size,), bool).at[0].set(True)
+    scale = (np.linspace(0.25, 2.0, batch)[:, None, None]
+             if wobble_spread else np.ones((batch, 1, 1)))
+    wobbles = scale * np.stack([
+        0.01 * np.sin(np.arange(size * 3) * 0.01 + k).reshape(size, 3)
+        * [1.0, 1.0, 0.1] for k in range(batch)])
+    init_b = np.asarray(initial)[None] + wobbles
+    init_b[:, 0] = truth[0]
+    init_b = jnp.asarray(init_b, f)
+
+    solve1 = functools.partial(
+        solve_chain_lm, residual_fn=se2_edge_residual,
+        retract_fn=se2_retract, tdim=3, max_iterations=chunk_iters,
+        gradient_tolerance=tolerance, step_tolerance=tolerance,
+        cost_tolerance=tolerance * tolerance)
+    args = (jnp.asarray(c_meas, f),
+            None if c_info is None else jnp.asarray(c_info, f),
+            jnp.asarray(l_ef, jnp.int32), jnp.asarray(l_et, jnp.int32),
+            jnp.asarray(l_meas, f),
+            None if l_info is None else jnp.asarray(l_info, f), fixed)
+    vm = jax.jit(jax.vmap(lambda v: solve1(v, *args)))
+
+    def sweep():
+        values = np.array(init_b)  # writable copy
+        active = np.arange(batch)
+        profile = []
+        for _ in range(max_rounds):
+            if len(active) == 0:
+                break
+            bucket = 1 << (len(active) - 1).bit_length()
+            idx = np.concatenate(
+                [active, np.zeros(bucket - len(active), np.int64)])
+            out, summ = vm(jnp.asarray(values[idx], f))
+            out_np = np.asarray(out)
+            term = np.asarray(summ.termination_code)[:len(active)]
+            values[active] = out_np[:len(active)]
+            profile.append((bucket, len(active)))
+            active = active[term == 0]  # 0 = max_iterations: not done
+        return values, profile, active
+
+    values, profile, left = sweep()  # warm-up: compiles every bucket
+    t0 = time.perf_counter()
+    values, profile, left = sweep()
+    float(values.ravel()[0])
+    seconds = time.perf_counter() - t0
+    worst = max(rmse(values[k], truth) for k in range(batch))
+    return seconds, worst, batch / seconds, profile
+
+
+def synthesize_se3_chain(size: int, loop_stride: int = 100):
+    """SE(3) analog of synthesize_chain on a 30-unit workspace (the
+    docs/PERF.md accuracy-island problem): sinusoidal SE(3) truth,
+    exact relative measurements (odometry + closures every
+    `loop_stride`), deterministic initial perturbation. All host-side
+    f64 (core/lie_np.py).
+
+    Returns (truth_tangents [N,6], truth_mats [N,4,4], initial_tangents,
+    ef, et, measurement_tangents [E,6], information [E,6,6])."""
+    from rust_robotics_tpu.core import lie_np
+
+    i = np.arange(size, dtype=np.float64)
+    truth_t = np.stack(
+        [15 * np.sin(0.002 * i), 10 * np.sin(0.004 * i),
+         2 * np.sin(0.003 * i), 0.3 * np.sin(0.0017 * i),
+         0.3 * np.cos(0.0023 * i), 0.4 * np.sin(0.0011 * i)], -1)
+    tm = lie_np.se3_exp(truth_t)
+    inv = lie_np.se3_inverse(tm)
+    mc = lie_np.se3_log(inv[:-1] @ tm[1:])
+    ef_c = np.arange(size - 1, dtype=np.int32)
+    et_c = ef_c + 1
+    lf = np.arange(0, max(size - loop_stride, 0), loop_stride,
+                   dtype=np.int32)
+    lt = lf + loop_stride
+    ml = lie_np.se3_log(inv[lf] @ tm[lt])
+    meas = np.concatenate([mc, ml])
+    info = np.concatenate([
+        np.broadcast_to(np.eye(6) * 100.0, (len(ef_c), 6, 6)),
+        np.broadcast_to(np.eye(6) * 20.0, (len(lf), 6, 6)),
+    ]).copy()
+    initial_t = truth_t + np.stack(
+        [0.02 * np.sin(i * 0.013), 0.03 * np.cos(i * 0.021),
+         0.005 * np.sin(i * 0.017), 0.004 * np.cos(i * 0.019),
+         0.004 * np.sin(i * 0.023), 0.003 * np.cos(i * 0.029)], -1)
+    initial_t[0] = truth_t[0]
+    return (truth_t, tm, initial_t, np.concatenate([ef_c, lf]),
+            np.concatenate([et_c, lt]), meas, info)
+
+
+def se3_position_rmse(tangents, truth_mats):
+    """Position RMSE of tangent-stored SE(3) poses vs truth matrices."""
+    from rust_robotics_tpu.core import lie_np
+
+    pos = lie_np.se3_exp(np.asarray(tangents, np.float64))[:, :3, 3]
+    d = pos - truth_mats[:, :3, 3]
+    return float(np.sqrt(np.mean(np.sum(d * d, -1))))
 
 
 def synthesize_grid(width: int, height: int, diag_closures: int = 0):
