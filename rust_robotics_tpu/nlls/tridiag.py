@@ -738,70 +738,26 @@ TERMINATION_NAMES = {0: "max_iterations", 1: "gradient_converged",
                      4: "numerical_failure"}
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("residual_fn", "retract_fn", "tdim", "max_iterations",
+_CHAIN_LM_STATICS = ("residual_fn", "retract_fn", "tdim", "max_iterations",
                      "gradient_tolerance", "step_tolerance",
                      "cost_tolerance", "initial_damping", "refine",
-                     "woodbury_chunk_bytes", "chunks", "rdim"),
-)
-def solve_chain_lm(
-    values0,
-    chain_meas,
-    chain_info,
-    loop_from,
-    loop_to,
-    loop_meas,
-    loop_info,
-    fixed_mask,
-    *,
-    residual_fn: Callable,
-    retract_fn: Callable,
-    tdim: int,
-    max_iterations: int = 50,
-    gradient_tolerance: float = 1e-10,
-    step_tolerance: float = 1e-10,
-    cost_tolerance: float = 1e-12,
-    initial_damping: float = 1e-3,
-    refine: int = 0,
-    woodbury_chunk_bytes: int | None = None,
-    chunks: int = 0,
-    rdim: int | None = None,
-):
-    """Device-resident LM over a chain factor graph with loop closures.
+                     "woodbury_chunk_bytes", "chunks", "rdim")
 
-    values0:    [n, dim] node values (dim == storage dim; tangent dim tdim)
-    chain_meas: [n-1, rdim] measurement of edge (i, i+1)
-    chain_info: [n-1, rdim, rdim] information (or None -> identity)
-    loop_*:     [L] / [L, rdim] / [L, rdim, rdim] extra edges (L may be 0)
-    fixed_mask: [n] bool — fixed nodes take zero increment
 
-    residual_fn(xi, xj, meas) -> [rdim]; retract_fn(x, delta) -> x'.
-    woodbury_chunk_bytes: explicit (static) per-chunk budget for the
-    streamed loop-closure column solve — the supported way to tune chunk
-    sizing (the module-level WOODBURY_CHUNK_BYTES default is read at
-    trace time, so mutating it after a first solve silently has no
-    effect until solve_chain_lm.clear_cache()).
-    chunks: > 1 routes the block-tridiagonal solve through the
-    single-chip SPIKE partition (`chunked_tridiag_factor/apply`) — C
-    chunks keep the compiled ladder at n/C rows, breaking the ~250k-pose
-    AOT compile ceiling (the 1M-pose path); 0/1 uses the plain ladder.
-    Returns (values [n, dim], ChainSummary of device scalars).
-
-    Mirrors solver.rs:81-188 exactly: linearize -> gradient check -> solve
-    -> step check -> trial -> accept (damping x0.3, cost-change check) /
-    reject (damping x10).
-    """
-    n, _ = values0.shape
+def _chain_lm_ops(chain_meas, chain_info, loop_from, loop_to, loop_meas,
+                  loop_info, fixed, *, residual_fn, retract_fn, tdim,
+                  gradient_tolerance, step_tolerance, cost_tolerance,
+                  refine, woodbury_chunk_bytes, chunks, rdim):
+    """Build the LM machinery closures (cost_only, body) for a chain
+    problem — shared by the fully-fused while_loop driver and the
+    host-stepped driver (one jitted body application per LM iteration;
+    the chunked-ladder-inside-while_loop program kernel-faults the TPU
+    runtime, so the chunked path steps from the host — at the 250k+
+    scales that need chunking, ~25 dispatches are noise). Must be called
+    under a trace."""
     num_l = loop_from.shape[0]
-    # rdim: residual dimension — defaults to the measurement width, but
-    # packed measurement encodings (e.g. the anchored SE(3) path's
-    # [z_tangent | anchor_rel] 12-vectors with 6-dim residuals) pass it
-    # explicitly
     rdim = chain_meas.shape[-1] if rdim is None else rdim
-    f_ = values0.dtype
-
-    fixed = fixed_mask
+    f_ = chain_meas.dtype
 
     def apply_info(info, v):
         return v if info is None else jnp.einsum("eij,e...j->e...i", info, v)
@@ -888,11 +844,30 @@ def solve_chain_lm(
                 it + (~done).astype(jnp.int32),
                 accepted + accept.astype(jnp.int32), new_term, new_done)
 
+    return cost_only, body
+
+
+@functools.partial(jax.jit, static_argnames=_CHAIN_LM_STATICS)
+def _solve_chain_lm_fused(
+    values0, chain_meas, chain_info, loop_from, loop_to, loop_meas,
+    loop_info, fixed_mask, *, residual_fn, retract_fn, tdim,
+    max_iterations, gradient_tolerance, step_tolerance, cost_tolerance,
+    initial_damping, refine, woodbury_chunk_bytes, chunks, rdim,
+):
+    """Fully device-resident driver: the whole LM as one while_loop."""
+    f_ = values0.dtype
+    cost_only, body = _chain_lm_ops(
+        chain_meas, chain_info, loop_from, loop_to, loop_meas, loop_info,
+        fixed_mask, residual_fn=residual_fn, retract_fn=retract_fn,
+        tdim=tdim, gradient_tolerance=gradient_tolerance,
+        step_tolerance=step_tolerance, cost_tolerance=cost_tolerance,
+        refine=refine, woodbury_chunk_bytes=woodbury_chunk_bytes,
+        chunks=chunks, rdim=rdim)
+
     def cond(carry):
         _, _, _, it, _, _, done = carry
         return (~done) & (it < max_iterations)
 
-    damping0 = jnp.asarray(initial_damping, f_)
     # Full-f32 matmul passes: the TPU MXU's default precision for f32
     # inputs is bf16-pass, which costs ~10x RMSE on the 10k benchmark
     # (measured 2.5e-3 vs 3.0e-4); the blocks here are tiny, so the extra
@@ -901,11 +876,141 @@ def solve_chain_lm(
         cost0 = cost_only(values0)
         values, _, cost, it, accepted, term, _ = jax.lax.while_loop(
             cond, body,
-            (values0, damping0, cost0, jnp.asarray(0, jnp.int32),
+            (values0, jnp.asarray(initial_damping, f_), cost0,
              jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-             jnp.asarray(False)),
+             jnp.asarray(0, jnp.int32), jnp.asarray(False)),
         )
     return values, ChainSummary(cost0, cost, it, accepted, term)
+
+
+@functools.partial(jax.jit, static_argnames=_CHAIN_LM_STATICS)
+def _chain_lm_init(
+    values0, chain_meas, chain_info, loop_from, loop_to, loop_meas,
+    loop_info, fixed_mask, *, residual_fn, retract_fn, tdim,
+    max_iterations, gradient_tolerance, step_tolerance, cost_tolerance,
+    initial_damping, refine, woodbury_chunk_bytes, chunks, rdim,
+):
+    f_ = values0.dtype
+    cost_only, _ = _chain_lm_ops(
+        chain_meas, chain_info, loop_from, loop_to, loop_meas, loop_info,
+        fixed_mask, residual_fn=residual_fn, retract_fn=retract_fn,
+        tdim=tdim, gradient_tolerance=gradient_tolerance,
+        step_tolerance=step_tolerance, cost_tolerance=cost_tolerance,
+        refine=refine, woodbury_chunk_bytes=woodbury_chunk_bytes,
+        chunks=chunks, rdim=rdim)
+    with jax.default_matmul_precision("float32"):
+        cost0 = cost_only(values0)
+    return (values0, jnp.asarray(initial_damping, f_), cost0,
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32), jnp.asarray(False))
+
+
+@functools.partial(jax.jit, static_argnames=_CHAIN_LM_STATICS)
+def _chain_lm_step(
+    carry, chain_meas, chain_info, loop_from, loop_to, loop_meas,
+    loop_info, fixed_mask, *, residual_fn, retract_fn, tdim,
+    max_iterations, gradient_tolerance, step_tolerance, cost_tolerance,
+    initial_damping, refine, woodbury_chunk_bytes, chunks, rdim,
+):
+    _, body = _chain_lm_ops(
+        chain_meas, chain_info, loop_from, loop_to, loop_meas, loop_info,
+        fixed_mask, residual_fn=residual_fn, retract_fn=retract_fn,
+        tdim=tdim, gradient_tolerance=gradient_tolerance,
+        step_tolerance=step_tolerance, cost_tolerance=cost_tolerance,
+        refine=refine, woodbury_chunk_bytes=woodbury_chunk_bytes,
+        chunks=chunks, rdim=rdim)
+    with jax.default_matmul_precision("float32"):
+        return body(carry)
+
+
+def solve_chain_lm(
+    values0,
+    chain_meas,
+    chain_info,
+    loop_from,
+    loop_to,
+    loop_meas,
+    loop_info,
+    fixed_mask,
+    *,
+    residual_fn: Callable,
+    retract_fn: Callable,
+    tdim: int,
+    max_iterations: int = 50,
+    gradient_tolerance: float = 1e-10,
+    step_tolerance: float = 1e-10,
+    cost_tolerance: float = 1e-12,
+    initial_damping: float = 1e-3,
+    refine: int = 0,
+    woodbury_chunk_bytes: int | None = None,
+    chunks: int = 0,
+    rdim: int | None = None,
+    host_loop: bool | None = None,
+):
+    """Device-resident LM over a chain factor graph with loop closures.
+
+    values0:    [n, dim] node values (dim == storage dim; tangent dim tdim)
+    chain_meas: [n-1, rdim] measurement of edge (i, i+1)
+    chain_info: [n-1, rdim, rdim] information (or None -> identity)
+    loop_*:     [L] / [L, rdim] / [L, rdim, rdim] extra edges (L may be 0)
+    fixed_mask: [n] bool — fixed nodes take zero increment
+
+    residual_fn(xi, xj, meas) -> [rdim]; retract_fn(x, delta) -> x'.
+    woodbury_chunk_bytes: explicit (static) per-chunk budget for the
+    streamed loop-closure column solve — the supported way to tune chunk
+    sizing (the module-level WOODBURY_CHUNK_BYTES default is read at
+    trace time, so mutating it after a first solve silently has no
+    effect until solve_chain_lm.clear_cache()).
+    chunks: > 1 routes the block-tridiagonal solve through the
+    single-chip SPIKE partition (`chunked_tridiag_factor/apply`) — C
+    chunks keep the compiled ladder at n/C rows, breaking the ~250k-pose
+    AOT compile ceiling (the 1M-pose path); 0/1 uses the plain ladder.
+    rdim: residual dimension when it differs from the measurement width
+    (packed encodings, e.g. the anchored SE(3) path's 48-wide
+    measurements with 6-dim residuals).
+    host_loop: None auto-selects — the chunked path on an accelerator
+    steps the LM from the host (one jitted body application per
+    iteration; the chunked ladder inside a single while_loop program
+    kernel-faults the TPU runtime, and at chunking scales the ~25
+    dispatches are noise), everything else runs the fused while_loop.
+    Not vmappable when the host loop engages (chunks>1 on TPU).
+    Returns (values [n, dim], ChainSummary of device scalars).
+
+    Mirrors solver.rs:81-188 exactly: linearize -> gradient check -> solve
+    -> step check -> trial -> accept (damping x0.3, cost-change check) /
+    reject (damping x10).
+    """
+    kw = dict(residual_fn=residual_fn, retract_fn=retract_fn, tdim=tdim,
+              max_iterations=max_iterations,
+              gradient_tolerance=gradient_tolerance,
+              step_tolerance=step_tolerance,
+              cost_tolerance=cost_tolerance,
+              initial_damping=initial_damping, refine=refine,
+              woodbury_chunk_bytes=woodbury_chunk_bytes, chunks=chunks,
+              rdim=rdim)
+    args = (chain_meas, chain_info, loop_from, loop_to, loop_meas,
+            loop_info, fixed_mask)
+    if host_loop is None:
+        host_loop = bool(chunks and chunks > 1
+                         and jax.default_backend() != "cpu")
+    if not host_loop:
+        return _solve_chain_lm_fused(values0, *args, **kw)
+    carry = _chain_lm_init(values0, *args, **kw)
+    cost0 = carry[2]
+    while (not bool(carry[6])) and int(carry[3]) < max_iterations:
+        carry = _chain_lm_step(carry, *args, **kw)
+    values, _, cost, it, accepted, term, _ = carry
+    return values, ChainSummary(cost0, cost, it, accepted, term)
+
+
+def _clear_chain_lm_caches():
+    _solve_chain_lm_fused.clear_cache()
+    _chain_lm_init.clear_cache()
+    _chain_lm_step.clear_cache()
+
+
+solve_chain_lm.clear_cache = _clear_chain_lm_caches
+
 
 
 def chain_edge_partition(n, edges_from, edges_to):
