@@ -130,3 +130,29 @@ def test_sharded_chain_lm_10k_flagship():
     err_oracle = rmse(np.asarray(oracle), truth)
     assert err_sharded < 2.2e-3, (err_sharded, err_oracle)
     assert err_sharded < 3 * max(err_oracle, 1e-4)
+
+
+def test_sharded_chain_lm_accepts_none_info():
+    """ADVICE r4: make_sharded_chain_solver must accept chain_info=None
+    (identity broadcast) like solve_chain_lm, instead of crashing with
+    an opaque concatenate error."""
+    n = 64
+    truth, initial, ef, et, meas, info = synthesize_chain(n)
+    keep = (np.asarray(et) - np.asarray(ef)) == 1
+    cm, _, lf, lt, lm, _ = classify_chain_edges(
+        n, ef[keep], et[keep], meas[keep], None)
+    fixed = jnp.zeros((n,), bool).at[0].set(True)
+    kw = dict(residual_fn=se2_edge_residual, retract_fn=se2_retract,
+              tdim=3, max_iterations=20, gradient_tolerance=1e-9,
+              step_tolerance=1e-9, cost_tolerance=1e-18)
+    oracle, summ_o = solve_chain_lm(
+        jnp.asarray(initial), jnp.asarray(cm), None,
+        jnp.asarray(lf, jnp.int32), jnp.asarray(lt, jnp.int32),
+        jnp.asarray(lm), None, fixed, **kw)
+    solver = make_sharded_chain_solver(_mesh(), "data", **kw)
+    sharded, summ_s = solver(
+        jnp.asarray(initial), jnp.asarray(cm), None,
+        jnp.asarray(lf, jnp.int32), jnp.asarray(lt, jnp.int32),
+        jnp.asarray(lm), None, fixed)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(oracle),
+                               atol=1e-8)
