@@ -98,7 +98,9 @@ class CRFactor(NamedTuple):
     tiles densely (long axis on the lanes).
     """
 
-    top: tuple  # per-level (e_inv, ae, ce, g, h), AoS [m_i/2, d, d]
+    top: tuple  # per-level (e_inv, ae, ce, g, h): SoA [d, d, m_i/2]
+    #             for d <= 8 (lanes-minor, unrolled products), AoS
+    #             [m_i/2, d, d] for fat (MXU matmul) blocks
     tail: tuple  # stacked (e_inv, ae, ce, g, h), SoA [L_t, d, d, m_t/2]
     root_inv: jnp.ndarray  # [d, d] inverse of the final reduced block
 
@@ -130,8 +132,18 @@ def _soa_mm(a, b):
     multiply-adds over lane vectors — dense VPU work with NO [*, d, d]
     minor-dim tiling (an AoS [m, 3, 3] batched matmul makes XLA pick a
     T(4,128) tile on the trailing [3, 3] dims = 57x memory padding,
-    measured OOM at 1M poses)."""
-    return jnp.einsum("ikm,kjm->ijm", a, b)
+    measured OOM at 1M poses). UNROLLED multiply-adds, deliberately NOT
+    an einsum: a dot_general drags the same tiny-d-minor layouts back in
+    through its operand constraints — explicit mul/add keeps every
+    array m-minor (dense lanes)."""
+    da, dk, _ = a.shape
+    rows = []
+    for i in range(da):
+        acc = a[i, 0][None, :] * b[0]          # [db, m]
+        for k in range(1, dk):
+            acc = acc + a[i, k][None, :] * b[k]
+        rows.append(acc)
+    return jnp.stack(rows, 0)
 
 
 def _soa_inv_spd(m):
@@ -260,18 +272,31 @@ def block_tridiag_factor(diag, upper, tail_threshold=None):
         tail_m = max(int(tail_threshold), 1)
     else:
         tail_m = _TAIL_M if d <= 8 else 1
+    # Small blocks (d <= 8) run the TOP levels in SoA too — same
+    # lanes-minor layout + unrolled products as the scan tail; the AoS
+    # batched-matmul form is kept only for fat supernodal blocks, where
+    # the MXU wants real [big, big] matmuls.
+    use_soa = d <= 8
     top = []
     m_cur = m
-    while m_cur > tail_m:
-        level, (b, a, c) = _reduce_level(b, a, c, eye, d, f_)
-        top.append(level)
-        m_cur //= 2
+    if use_soa:
+        b, a, c = map(_to_soa, (b, a, c))
+        while m_cur > tail_m:
+            level, (b, a, c) = _reduce_level_soa(b, a, c, d, f_)
+            top.append(level)
+            m_cur //= 2
+    else:
+        while m_cur > tail_m:
+            level, (b, a, c) = _reduce_level(b, a, c, eye, d, f_)
+            top.append(level)
+            m_cur //= 2
 
     # --- tail: uniform scan over the remaining log2(m_cur) levels ---------
     tail_levels = (m_cur - 1).bit_length()
     if tail_levels == 0:
         z = jnp.zeros((0, d, d, 0), f_)
-        return CRFactor(tuple(top), (z, z, z, z, z), inv_spd(b)[0])
+        root = b[..., 0] if use_soa else b[0]
+        return CRFactor(tuple(top), (z, z, z, z, z), inv_spd(root[None])[0])
 
     h2 = m_cur // 2
     pad_eye_soa = jnp.broadcast_to(eye[..., None], (d, d, h2))
@@ -285,7 +310,7 @@ def block_tridiag_factor(diag, upper, tail_threshold=None):
         c_new = jnp.concatenate([c_new, pad_zero_soa], -1)
         return (b_new, a_new, c_new), level
 
-    carry0 = tuple(map(_to_soa, (b, a, c)))
+    carry0 = (b, a, c) if use_soa else tuple(map(_to_soa, (b, a, c)))
     (b_soa, _, _), tail = jax.lax.scan(
         level_step, carry0, None, length=tail_levels)
     return CRFactor(tuple(top), tail, inv_spd(b_soa[..., 0][None])[0])
@@ -302,13 +327,25 @@ def block_tridiag_apply(factor: CRFactor, rhs):
     f = jnp.concatenate([rhs, jnp.zeros((pad, d, r), f_)], 0) \
         if pad else rhs
 
+    use_soa = d <= 8
+    zero_col = jnp.zeros((d, r, 1), f_)
+
     # --- forward: unrolled top levels ------------------------------------
     top_fes = []
-    for (_, _, _, g, h) in factor.top:
-        fe, fo = f[0::2], f[1::2]
-        fe_r = jnp.concatenate([fe[1:], jnp.zeros((1, d, r), f_)], 0)
-        top_fes.append(fe)
-        f = fo - g @ fe - h @ fe_r
+    if use_soa:
+        f_s = _to_soa(f)  # [d, r, m]
+        for (_, _, _, g, h) in factor.top:
+            fe, fo = f_s[..., 0::2], f_s[..., 1::2]
+            fe_r = jnp.concatenate([fe[..., 1:], zero_col], -1)
+            top_fes.append(fe)
+            f_s = fo - _soa_mm(g, fe) - _soa_mm(h, fe_r)
+    else:
+        for (_, _, _, g, h) in factor.top:
+            fe, fo = f[0::2], f[1::2]
+            fe_r = jnp.concatenate([fe[1:], jnp.zeros((1, d, r), f_)], 0)
+            top_fes.append(fe)
+            f = fo - g @ fe - h @ fe_r
+        f_s = _to_soa(f)
 
     # --- forward: scanned tail (SoA bodies — see _soa_mm) -----------------
     tail_levels = factor.tail[0].shape[0]
@@ -316,7 +353,6 @@ def block_tridiag_apply(factor: CRFactor, rhs):
         h2 = factor.tail[0].shape[-1]
         m_t = 2 * h2
         pad_zero_soa = jnp.zeros((d, r, h2), f_)
-        zero_col = jnp.zeros((d, r, 1), f_)
 
         def fwd(f_soa, level):
             g, h = level[3], level[4]
@@ -327,16 +363,16 @@ def block_tridiag_apply(factor: CRFactor, rhs):
                 -1)
             return f_new, fe
 
-        f_soa, tail_fes = jax.lax.scan(fwd, _to_soa(f), factor.tail)
+        f_soa, tail_fes = jax.lax.scan(fwd, f_s, factor.tail)
         f0 = f_soa[..., 0]
     else:
-        f0 = f[0]
+        f0 = f_s[..., 0]
 
     x0 = factor.root_inv @ f0  # [d, r]
 
     # --- backward: scanned tail ------------------------------------------
     if tail_levels:
-        x = jnp.zeros((d, r, m_t), f_).at[..., 0].set(x0)
+        x_s = jnp.zeros((d, r, m_t), f_).at[..., 0].set(x0)
 
         def bwd(x_soa, level_and_fe):
             level, fe = level_and_fe
@@ -349,21 +385,33 @@ def block_tridiag_apply(factor: CRFactor, rhs):
                 d, r, m_t)
             return x_new, None
 
-        x_soa, _ = jax.lax.scan(
-            bwd, x, (factor.tail, tail_fes), reverse=True)
-        x = _from_soa(x_soa)
+        x_s, _ = jax.lax.scan(
+            bwd, x_s, (factor.tail, tail_fes), reverse=True)
     else:
-        x = x0[None]
+        x_s = x0[:, :, None]
 
     # --- backward: unrolled top levels (reverse order) --------------------
-    for (e_inv, ae, ce, _, _), fe in zip(reversed(factor.top),
-                                         reversed(top_fes)):
-        x_odd = x
-        xl = jnp.concatenate(
-            [jnp.zeros((1, d, r), f_), x_odd[:-1]], 0)
-        x_even = e_inv @ (fe - ae @ xl - ce @ x_odd)
-        h_lvl = x_even.shape[0]
-        x = jnp.stack([x_even, x_odd], axis=1).reshape(2 * h_lvl, d, r)
+    if use_soa:
+        for (e_inv, ae, ce, _, _), fe in zip(reversed(factor.top),
+                                             reversed(top_fes)):
+            x_odd = x_s
+            xl = jnp.concatenate([zero_col, x_odd[..., :-1]], -1)
+            x_even = _soa_mm(
+                e_inv, fe - _soa_mm(ae, xl) - _soa_mm(ce, x_odd))
+            x_s = jnp.stack([x_even, x_odd], axis=-1).reshape(
+                d, r, 2 * x_odd.shape[-1])
+        x = _from_soa(x_s)
+    else:
+        x = _from_soa(x_s)
+        for (e_inv, ae, ce, _, _), fe in zip(reversed(factor.top),
+                                             reversed(top_fes)):
+            x_odd = x
+            xl = jnp.concatenate(
+                [jnp.zeros((1, d, r), f_), x_odd[:-1]], 0)
+            x_even = e_inv @ (fe - ae @ xl - ce @ x_odd)
+            h_lvl = x_even.shape[0]
+            x = jnp.stack([x_even, x_odd], axis=1).reshape(
+                2 * h_lvl, d, r)
 
     return x[:n]
 
@@ -641,15 +689,19 @@ def chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to, w_inv,
         # SPIKE-chunked ladder: the all-scan tail stores per-level
         # forward state at FULL padded length (L_t levels x m/2 rows per
         # chunk), not the unrolled ladder's geometric 2m total — size
-        # the edge chunks by that footprint
+        # the edge chunks by that footprint, with NO extra safety factor:
+        # every chunk apply pays an r-INDEPENDENT re-read of the level
+        # factor arrays, so over-chunking is the dominant cost (the
+        # first 1M capture ran 34 chunk applies per iteration)
         m_loc = -(-n // chunks)
         m_loc_p2 = 1 if m_loc == 1 else 1 << (m_loc - 1).bit_length()
         lt = max((m_loc_p2 - 1).bit_length(), 1)
         eff_rows = chunks * lt * max(m_loc_p2 // 2, 1)
+        _bytes_per_edge = eff_rows * 8 * 4 * rdim
     else:
         m_pow2 = 1 if n == 1 else 1 << (n - 1).bit_length()
         eff_rows = 2 * m_pow2
-    _bytes_per_edge = 3 * eff_rows * 8 * 4 * rdim
+        _bytes_per_edge = 3 * eff_rows * 8 * 4 * rdim
     budget = WOODBURY_CHUNK_BYTES if chunk_bytes is None else chunk_bytes
     cs_edges = max(1, min(num_l, budget // _bytes_per_edge))
     nc_edges = -(-num_l // cs_edges)

@@ -25,7 +25,10 @@ def test_plan_banded_grid_bandwidth():
     truth, initial, ef, et, meas, info = synthesize_grid(12, 9, 6)
     plan = plan_banded(truth.shape[0], ef, et)
     n_grid_edges = 12 * 8 + 11 * 9  # vertical + horizontal
-    assert plan.bandwidth <= 3 * min(12, 9)  # RCM is heuristic, not optimal
+    # the SUPERNODE (what sizes the fat blocks) stays ~min(W, H); the
+    # bandwidth stat is the ordering's max span and may include the long
+    # closures (the round-5 cost model can prefer the natural order)
+    assert plan.supernode <= 3 * min(12, 9)
     assert plan.in_band[:n_grid_edges].all()
     # permutation is a bijection
     assert np.array_equal(np.sort(plan.order), np.arange(truth.shape[0]))
