@@ -777,6 +777,132 @@ def chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to, w_inv,
     return x
 
 
+class NestedPartition(NamedTuple):
+    """Static two-level partition of a chain with loop closures: every
+    closure endpoint is a separator; the chain intervals between
+    consecutive separators are eliminated in a BATCH (they pad to one
+    common length), leaving a coarse block-tridiagonal system over the
+    ~2L separator poses whose Woodbury rides a ~2L-row ladder instead of
+    the full n-row one (VERDICT r4 #6). Built host-side by
+    `nested_partition` from concrete endpoint arrays."""
+    bounds: jnp.ndarray    # [nb] separator pose ids (includes 0, n-1)
+    seg_idx: jnp.ndarray   # [ns, m] interior pose ids; sentinel n invalid
+    seg_mask: jnp.ndarray  # [ns, m] valid interior rows
+    cmask: jnp.ndarray     # [ns, m-1] valid interior couplings
+    last_pos: jnp.ndarray  # [ns] index of last valid interior row
+    left_c: jnp.ndarray    # [ns] c index coupling bounds[k] -> interior
+    right_c: jnp.ndarray   # [ns] c index coupling interior -> bounds[k+1]
+    direct: jnp.ndarray    # [ns] empty interior -> bounds adjacent in T
+    loop_kf: jnp.ndarray   # [L] closure endpoints in separator coords
+    loop_kt: jnp.ndarray
+
+
+def nested_partition(n, loop_from, loop_to):
+    """Build the NestedPartition for `chain_nested_solve`. Host-side
+    (numpy, trace-time): the separator set and segment shapes are static
+    structure, exactly like classify_chain_edges."""
+    import numpy as np
+
+    if n < 2:
+        raise ValueError("nested solve needs n >= 2")
+    lf = np.asarray(loop_from).astype(np.int64)
+    lt = np.asarray(loop_to).astype(np.int64)
+    bounds = np.unique(np.concatenate(
+        [np.array([0, n - 1], np.int64), lf, lt]))
+    seg_len = bounds[1:] - bounds[:-1] - 1
+    m = max(int(seg_len.max(initial=0)), 1)
+    ar = np.arange(m)
+    mask = ar[None, :] < seg_len[:, None]
+    idx = np.where(mask, bounds[:-1, None] + 1 + ar[None, :], n)
+    cmask = ar[None, :max(m - 1, 0)] < (seg_len - 1)[:, None]
+    i32 = lambda x: jnp.asarray(np.asarray(x, np.int32))
+    return NestedPartition(
+        i32(bounds), i32(idx), jnp.asarray(mask), jnp.asarray(cmask),
+        i32(np.maximum(seg_len - 1, 0)), i32(bounds[:-1]),
+        i32(bounds[1:] - 1), jnp.asarray(seg_len == 0),
+        i32(np.searchsorted(bounds, lf)),
+        i32(np.searchsorted(bounds, lt)))
+
+
+def chain_nested_solve(bd, c, jac_loop, w_inv, rhs_vec, part,
+                       w_blocks=None):
+    """x = (T + U W Uᵀ)⁻¹ rhs by two-level block elimination.
+
+    Exact (no approximation): closure endpoints are separators, so U is
+    zero on every interior row and interior elimination commutes with
+    the Woodbury term. The segment interiors are factored/solved as ONE
+    vmapped batch (same padded length), each against 2t+1 columns
+    (left/right boundary couplings + rhs); the coarse Schur system over
+    the nb separators reuses `chain_woodbury_solve` verbatim — same
+    streamed-column machinery, but every ladder apply is nb rows
+    instead of n. For the 100k-pose benchmark (999 stride-100 closures,
+    nb = 1001) this removes ~11 full-100k multi-column ladder applies
+    per LM iteration in favor of one batched 1000x~100 segment solve
+    plus a 1001-row coarse solve. `refine`/`chunks` do not apply here
+    (the factors are exact per level and no full-n ladder exists)."""
+    n, tdim, _ = bd.shape
+    f_ = bd.dtype
+    ns, m = part.seg_idx.shape
+    eye = jnp.eye(tdim, dtype=f_)
+
+    gather_rows = jnp.minimum(part.seg_idx, n - 1)
+    bdi = jnp.where(part.seg_mask[:, :, None, None], bd[gather_rows], eye)
+    if m > 1:
+        ci = jnp.where(part.cmask[:, :, None, None],
+                       c[jnp.minimum(part.seg_idx[:, :-1], n - 2)], 0.0)
+    else:
+        ci = jnp.zeros((ns, 0, tdim, tdim), f_)
+    fac = jax.vmap(block_tridiag_factor)(bdi, ci)
+
+    nonempty = part.seg_mask[:, 0]
+    cl = jnp.where(nonempty[:, None, None], c[part.left_c], 0.0)
+    cr = jnp.where(nonempty[:, None, None],
+                   c[jnp.minimum(part.right_c, max(n - 2, 0))], 0.0)
+    rhs_i = jnp.where(part.seg_mask[:, :, None], rhs_vec[gather_rows],
+                      0.0)
+    last_oh = jnp.arange(m)[None, :] == part.last_pos[:, None]
+
+    # 2t+1 columns per segment: T_I⁻¹ [e₀ clᵀ | e_last cr | rhs_I]
+    cols = jnp.zeros((ns, m, tdim, 2 * tdim + 1), f_)
+    cols = cols.at[:, 0, :, :tdim].set(jnp.swapaxes(cl, -1, -2))
+    cols = cols.at[:, :, :, tdim:2 * tdim].add(
+        last_oh[:, :, None, None] * cr[:, None, :, :])
+    cols = cols.at[:, :, :, 2 * tdim].set(rhs_i)
+    g = jax.vmap(block_tridiag_apply)(fac, cols)  # [ns, m, t, 2t+1]
+    g0 = g[:, 0]
+    gl = jnp.sum(last_oh[:, :, None, None] * g, axis=1)
+
+    # Schur corrections onto the separators (T_I⁻¹ is symmetric, so the
+    # coarse system stays symmetric with upper-only storage)
+    corr_pp = jnp.einsum("sij,sjk->sik", cl, g0[..., :tdim])
+    corr_pq = jnp.einsum("sij,sjk->sik", cl, g0[..., tdim:2 * tdim])
+    corr_qq = jnp.einsum("sji,sjk->sik", cr, gl[..., tdim:2 * tdim])
+    rp = jnp.einsum("sij,sj->si", cl, g0[..., 2 * tdim])
+    rq = jnp.einsum("sji,sj->si", cr, gl[..., 2 * tdim])
+
+    bdc = bd[part.bounds]
+    bdc = bdc.at[:-1].add(-corr_pp)
+    bdc = bdc.at[1:].add(-corr_qq)
+    cc = -corr_pq + jnp.where(part.direct[:, None, None],
+                              c[part.left_c], 0.0)
+    rc = rhs_vec[part.bounds]
+    rc = rc.at[:-1].add(-rp)
+    rc = rc.at[1:].add(-rq)
+
+    xc = chain_woodbury_solve(bdc, cc, jac_loop, part.loop_kf,
+                              part.loop_kt, w_inv, rc,
+                              w_blocks=w_blocks)
+
+    # back-substitution: x_I = G_rhs − G_A x_left − G_B x_right
+    xi = (g[..., 2 * tdim]
+          - jnp.einsum("smij,sj->smi", g[..., :tdim], xc[:-1])
+          - jnp.einsum("smij,sj->smi", g[..., tdim:2 * tdim], xc[1:]))
+    x = jnp.zeros((n + 1, tdim), f_)  # row n catches sentinel scatters
+    x = x.at[part.seg_idx].set(xi)
+    x = x.at[part.bounds].set(xc)
+    return x[:n]
+
+
 class ChainSummary(NamedTuple):
     initial_cost: jnp.ndarray
     final_cost: jnp.ndarray
@@ -799,7 +925,8 @@ _CHAIN_LM_STATICS = ("residual_fn", "retract_fn", "tdim", "max_iterations",
 def _chain_lm_ops(chain_meas, chain_info, loop_from, loop_to, loop_meas,
                   loop_info, fixed, *, residual_fn, retract_fn, tdim,
                   gradient_tolerance, step_tolerance, cost_tolerance,
-                  refine, woodbury_chunk_bytes, chunks, rdim):
+                  refine, woodbury_chunk_bytes, chunks, rdim,
+                  nested_part=None):
     """Build the LM machinery closures (cost_only, body) for a chain
     problem — shared by the fully-fused while_loop driver and the
     host-stepped driver (one jitted body application per LM iteration;
@@ -843,6 +970,9 @@ def _chain_lm_ops(chain_meas, chain_info, loop_from, loop_to, loop_meas,
         lam = damping * jnp.maximum(jnp.abs(diag_t + diag_loop), 1.0)
         bd = b + jax.vmap(jnp.diag)(lam)
         bd = jnp.where(fixed[:, None, None], eye_t, bd)
+        if nested_part is not None:
+            return chain_nested_solve(bd, c, jac_loop, w_inv, -grad,
+                                      nested_part, w_blocks=w_blocks)
         return chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to,
                                     w_inv, -grad, w_blocks=w_blocks,
                                     refine=refine,
@@ -902,9 +1032,10 @@ def _chain_lm_ops(chain_meas, chain_info, loop_from, loop_to, loop_meas,
 @functools.partial(jax.jit, static_argnames=_CHAIN_LM_STATICS)
 def _solve_chain_lm_fused(
     values0, chain_meas, chain_info, loop_from, loop_to, loop_meas,
-    loop_info, fixed_mask, *, residual_fn, retract_fn, tdim,
-    max_iterations, gradient_tolerance, step_tolerance, cost_tolerance,
-    initial_damping, refine, woodbury_chunk_bytes, chunks, rdim,
+    loop_info, fixed_mask, nested_part=None, *, residual_fn, retract_fn,
+    tdim, max_iterations, gradient_tolerance, step_tolerance,
+    cost_tolerance, initial_damping, refine, woodbury_chunk_bytes,
+    chunks, rdim,
 ):
     """Fully device-resident driver: the whole LM as one while_loop."""
     f_ = values0.dtype
@@ -914,7 +1045,7 @@ def _solve_chain_lm_fused(
         tdim=tdim, gradient_tolerance=gradient_tolerance,
         step_tolerance=step_tolerance, cost_tolerance=cost_tolerance,
         refine=refine, woodbury_chunk_bytes=woodbury_chunk_bytes,
-        chunks=chunks, rdim=rdim)
+        chunks=chunks, rdim=rdim, nested_part=nested_part)
 
     def cond(carry):
         _, _, _, it, _, _, done = carry
@@ -938,9 +1069,10 @@ def _solve_chain_lm_fused(
 @functools.partial(jax.jit, static_argnames=_CHAIN_LM_STATICS)
 def _chain_lm_init(
     values0, chain_meas, chain_info, loop_from, loop_to, loop_meas,
-    loop_info, fixed_mask, *, residual_fn, retract_fn, tdim,
-    max_iterations, gradient_tolerance, step_tolerance, cost_tolerance,
-    initial_damping, refine, woodbury_chunk_bytes, chunks, rdim,
+    loop_info, fixed_mask, nested_part=None, *, residual_fn, retract_fn,
+    tdim, max_iterations, gradient_tolerance, step_tolerance,
+    cost_tolerance, initial_damping, refine, woodbury_chunk_bytes,
+    chunks, rdim,
 ):
     f_ = values0.dtype
     cost_only, _ = _chain_lm_ops(
@@ -949,7 +1081,7 @@ def _chain_lm_init(
         tdim=tdim, gradient_tolerance=gradient_tolerance,
         step_tolerance=step_tolerance, cost_tolerance=cost_tolerance,
         refine=refine, woodbury_chunk_bytes=woodbury_chunk_bytes,
-        chunks=chunks, rdim=rdim)
+        chunks=chunks, rdim=rdim, nested_part=nested_part)
     with jax.default_matmul_precision("float32"):
         cost0 = cost_only(values0)
     return (values0, jnp.asarray(initial_damping, f_), cost0,
@@ -960,9 +1092,10 @@ def _chain_lm_init(
 @functools.partial(jax.jit, static_argnames=_CHAIN_LM_STATICS)
 def _chain_lm_step(
     carry, chain_meas, chain_info, loop_from, loop_to, loop_meas,
-    loop_info, fixed_mask, *, residual_fn, retract_fn, tdim,
-    max_iterations, gradient_tolerance, step_tolerance, cost_tolerance,
-    initial_damping, refine, woodbury_chunk_bytes, chunks, rdim,
+    loop_info, fixed_mask, nested_part=None, *, residual_fn, retract_fn,
+    tdim, max_iterations, gradient_tolerance, step_tolerance,
+    cost_tolerance, initial_damping, refine, woodbury_chunk_bytes,
+    chunks, rdim,
 ):
     _, body = _chain_lm_ops(
         chain_meas, chain_info, loop_from, loop_to, loop_meas, loop_info,
@@ -970,7 +1103,7 @@ def _chain_lm_step(
         tdim=tdim, gradient_tolerance=gradient_tolerance,
         step_tolerance=step_tolerance, cost_tolerance=cost_tolerance,
         refine=refine, woodbury_chunk_bytes=woodbury_chunk_bytes,
-        chunks=chunks, rdim=rdim)
+        chunks=chunks, rdim=rdim, nested_part=nested_part)
     with jax.default_matmul_precision("float32"):
         return body(carry)
 
@@ -998,6 +1131,7 @@ def solve_chain_lm(
     chunks: int = 0,
     rdim: int | None = None,
     host_loop: bool | None = None,
+    nested: bool | None = None,
 ):
     """Device-resident LM over a chain factor graph with loop closures.
 
@@ -1026,6 +1160,16 @@ def solve_chain_lm(
     kernel-faults the TPU runtime, and at chunking scales the ~25
     dispatches are noise), everything else runs the fused while_loop.
     Not vmappable when the host loop engages (chunks>1 on TPU).
+    nested: route the inner solve through the two-level elimination
+    (`chain_nested_solve`) — closure endpoints become separators, the
+    intervals between them are eliminated as one vmapped batch, and the
+    Woodbury rides a coarse ~2L-row ladder instead of the full n rows.
+    Exact (parity-tested against the streamed path); pays off when n is
+    large AND closures are many (the 100k benchmark: 9.7 s -> see
+    PERF.md). None auto-enables for n >= 50_000, >= 64 closures, and a
+    separator set <= n/8 (needs concrete endpoint arrays — silently
+    stays off under tracing). Mutually exclusive with chunks > 1;
+    `refine` does not apply to the nested path.
     Returns (values [n, dim], ChainSummary of device scalars).
 
     Mirrors solver.rs:81-188 exactly: linearize -> gradient check -> solve
@@ -1040,8 +1184,33 @@ def solve_chain_lm(
               initial_damping=initial_damping, refine=refine,
               woodbury_chunk_bytes=woodbury_chunk_bytes, chunks=chunks,
               rdim=rdim)
+    n = values0.shape[0]
+    num_l = int(loop_from.shape[0])
+    chunked = bool(chunks and chunks > 1)
+    part = None
+    if nested is None:
+        if num_l >= 64 and n >= 50_000 and not chunked:
+            try:  # needs concrete endpoints; stays off under tracing
+                import numpy as np
+                nb = len(np.unique(np.concatenate(
+                    [np.array([0, n - 1]), np.asarray(loop_from),
+                     np.asarray(loop_to)])))
+                nested = nb <= n // 8
+            except Exception:
+                nested = False
+        else:
+            nested = False
+    if nested:
+        if chunked:
+            raise ValueError("nested=True is mutually exclusive with "
+                             "chunks > 1 (no full-n ladder exists to "
+                             "chunk)")
+        if num_l == 0:
+            nested = False  # plain ladder already optimal
+    if nested:
+        part = nested_partition(n, loop_from, loop_to)
     args = (chain_meas, chain_info, loop_from, loop_to, loop_meas,
-            loop_info, fixed_mask)
+            loop_info, fixed_mask, part)
     if host_loop is None:
         host_loop = bool(chunks and chunks > 1
                          and jax.default_backend() != "cpu")
