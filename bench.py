@@ -112,6 +112,8 @@ def main():
             extras["resampled_particles_per_s"] = res
         extras["pose_graph_10k"] = _bench_pose_graph_10k()
         extras["pose_graph_grid_10k"] = _bench_pose_graph_grid()
+        if on_tpu:
+            extras["pose_graph_100k"] = _bench_pose_graph_100k()
         from rust_robotics_tpu.utils.roofline import roofline_extras
 
         pg = extras["pose_graph_10k"]
@@ -244,6 +246,21 @@ def _bench_pose_graph_10k():
     seconds, err, iters = min(runs, key=lambda r: r[0])
     return {"seconds": seconds, "rmse": err, "lm_iterations": iters,
             "reference_seconds": 8.62}
+
+
+def _bench_pose_graph_100k():
+    """Closure-rich capacity row (round 5): 100k-pose chain with 999
+    stride-100 closures through the two-level nested elimination
+    (chain_nested_solve auto-engages in solve_chain_lm). One timed run —
+    the solve is short (~1.5 s) but the compile is a minute; a second
+    run buys little."""
+    from rust_robotics_tpu.demos.pose_graph_bench import (
+        run_large_benchmark)
+
+    seconds, err, iters = run_large_benchmark(100000,
+                                              device_resident=True)
+    return {"seconds": seconds, "rmse": err, "lm_iterations": iters,
+            "solver": "nested"}
 
 
 if __name__ == "__main__":

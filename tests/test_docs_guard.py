@@ -158,3 +158,31 @@ def test_grid_headline_pinned_to_latest_bench_capture():
     claimed = float(m.group(1))
     assert abs(claimed - captured) <= 0.25 * max(captured, 1e-9), (
         claimed, captured)
+
+
+def test_100k_row_pinned_to_latest_bench_capture():
+    """Same single-protocol rule for the closure-rich 100k capacity row
+    (round-5 nested solver): once a BENCH capture carries
+    pose_graph_100k, the PERF.md scaling-table entry must quote it
+    within ±25%."""
+    import glob
+    import json
+
+    benches = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    if not benches:
+        pytest.skip("no BENCH capture present")
+    with open(benches[-1]) as f:
+        bench = json.load(f)
+    bench = bench.get("parsed", bench) or {}
+    extras = bench.get("extras", bench)
+    pg = extras.get("pose_graph_100k")
+    if not pg:
+        pytest.skip("latest BENCH capture predates the 100k benchmark")
+    captured = float(pg["seconds"])
+    with open(os.path.join(ROOT, "docs", "PERF.md")) as f:
+        perf = f.read()
+    m = re.search(r"\| 100k \| ([0-9.]+) s \(nested", perf)
+    assert m, "PERF.md 100k scaling row not found"
+    claimed = float(m.group(1))
+    assert abs(claimed - captured) <= 0.25 * max(captured, 1e-9), (
+        claimed, captured)
