@@ -382,7 +382,9 @@ def _banded_ops(
                 k_w, nc_edges * cs_edges * rdim)[:, :k_w]
         s_cap = w_inv + uty
         rhs_c = ut_apply(y0[..., None])[:, 0]
-        coef = jnp.linalg.solve(s_cap, rhs_c)
+        # SPD capacitance system: Cholesky, not LU (see tridiag.py)
+        coef = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(s_cap), rhs_c)
         cb = coef.reshape(num_l, rdim)
         u_coef = jnp.zeros((ns, big), f_)
         u_coef = u_coef.at[sn_lf[:, None], rows_lf].add(

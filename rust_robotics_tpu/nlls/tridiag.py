@@ -743,6 +743,11 @@ def chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to, w_inv,
         uty = jnp.moveaxis(s_parts, 0, 1).reshape(
             k_w, nc_edges * cs_edges * rdim)[:, :k_w]
     s = w_inv + uty
+    # S is SPD (W SPD, T SPD after damping) — Cholesky halves the dense
+    # K×K solve flops vs LU and is factored ONCE across refine passes.
+    # A non-SPD S from f32 round-off NaNs the step; the LM loop's
+    # finite-delta guard then damps up and retries.
+    s_cho = jax.scipy.linalg.cho_factor(s)
 
     def u_scatter(cb):
         """U v: [L, r] per-edge coefficients -> [n, t]."""
@@ -754,7 +759,7 @@ def chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to, w_inv,
     def solve_once(b_vec):
         y0 = t_apply(b_vec[..., None])[..., 0]
         rhs_c = ut_apply(y0[..., None])[:, 0]
-        coef = jnp.linalg.solve(s, rhs_c)
+        coef = jax.scipy.linalg.cho_solve(s_cho, rhs_c)
         # correction T⁻¹ (U coef) via one more ladder apply; U coef is
         # assembled sparsely from the edge Jacobians
         u_coef = u_scatter(coef.reshape(num_l, rdim))
