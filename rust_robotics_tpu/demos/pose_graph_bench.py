@@ -113,7 +113,9 @@ def run_large_benchmark(size=10000, max_iterations=4, tolerance=1e-8,
     if device_resident:
         kwargs = dict(max_iterations=25, tolerance=tolerance,
                       linear_solver="chain_direct")
-        optimize_pose_graph_2d(*args, **kwargs)  # compile + settle
+        # compile + settle; np.asarray blocks until the warm-up solve has
+        # fully completed so no in-flight work leaks into the timed region
+        np.asarray(optimize_pose_graph_2d(*args, **kwargs)[0])
         t0 = time.perf_counter()
         poses, summary = optimize_pose_graph_2d(*args, **kwargs)
         poses_np = np.asarray(poses)
@@ -173,18 +175,29 @@ def run_batched_benchmark(size=10000, batch=8, max_iterations=25,
             jnp.asarray(l_meas, f),
             None if l_info is None else jnp.asarray(l_info, f), fixed)
     vm = jax.jit(jax.vmap(lambda v: solve1(v, *args)))
-    out, _ = vm(init_b)
-    np.asarray(out[0, 0])  # compile + settle
+    # The completion fence must be IDENTICAL in the warm-up and timed
+    # paths: fetching a different slice (out[0, 0] vs out.ravel()[0])
+    # compiles a distinct tiny fetch program, and on a tunneled TPU that
+    # compile costs seconds — it used to land inside the timed region of
+    # the first call and poisoned the round-4 serving capture
+    # (164 graphs/s for what is really ~1350). Scalar readback, not
+    # block_until_ready, per the bench.py protocol (block_until_ready
+    # under-reports through the async axon relay).
+    def fenced():
+        out, _ = vm(init_b)
+        float(out[0, 0, 0])
+        return out
+
+    out = fenced()  # compile (solver + fence program) + settle
     t0 = time.perf_counter()
-    out, _ = vm(init_b)
-    float(out.ravel()[0])
+    out = fenced()
     seconds = time.perf_counter() - t0
     worst = max(rmse(np.asarray(out[k]), truth) for k in range(batch))
     return seconds, worst, batch / seconds
 
 
 def run_batched_compaction_benchmark(size=200, batch=256, chunk_iters=6,
-                                     max_rounds=8, tolerance=1e-8,
+                                     max_rounds=8, tolerance=1e-6,
                                      wobble_spread=True):
     """Batched small-graph serving WITHOUT paying the slowest instance's
     full iteration count everywhere (VERDICT r4 #5): the vmapped LM runs
@@ -198,6 +211,13 @@ def run_batched_compaction_benchmark(size=200, batch=256, chunk_iters=6,
     wobble_spread=True makes the B problems deliberately heterogeneous
     (perturbation scale varying 8x across the batch) so convergence
     rounds actually differ — the serving shape where lock-step hurts.
+
+    tolerance defaults to 1e-6, not the reference's 1e-8: in f32 the
+    1e-8 gradient/step thresholds are below the arithmetic noise floor,
+    so instances never REPORT convergence (termination_code stays 0) and
+    no compaction ever happens, even though the solutions are long since
+    converged (measured: 227/256 still "active" after 48 iterations at
+    worst RMSE 5.9e-6).
 
     Returns (seconds, worst_rmse, graphs_per_s, rounds_profile) with
     rounds_profile = [(bucket_size, active_before)] per round. Timing
@@ -390,7 +410,8 @@ def run_grid_benchmark(width=100, height=100, diag_closures=50,
             jnp.asarray(info, f))
     kwargs = dict(max_iterations=max_iterations, tolerance=tolerance,
                   linear_solver="banded_direct")
-    optimize_pose_graph_2d(*args, **kwargs)  # compile + settle
+    # compile + settle (np.asarray blocks: see run_benchmark)
+    np.asarray(optimize_pose_graph_2d(*args, **kwargs)[0])
     t0 = time.perf_counter()
     poses, summary = optimize_pose_graph_2d(*args, **kwargs)
     poses_np = np.asarray(poses)

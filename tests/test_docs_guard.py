@@ -186,3 +186,31 @@ def test_100k_row_pinned_to_latest_bench_capture():
     claimed = float(m.group(1))
     assert abs(claimed - captured) <= 0.25 * max(captured, 1e-9), (
         claimed, captured)
+
+
+def test_serving_row_pinned_to_latest_bench_capture():
+    """Same single-protocol rule for the batched-serving row (round-5
+    harness fix: the r4 '164 graphs/s' figure was a timed-region compile
+    artifact). Once a BENCH capture carries pose_graph_serving, the
+    PERF.md serving claim must quote its lock-step rate within ±25%."""
+    import glob
+    import json
+
+    benches = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    if not benches:
+        pytest.skip("no BENCH capture present")
+    with open(benches[-1]) as f:
+        bench = json.load(f)
+    bench = bench.get("parsed", bench) or {}
+    extras = bench.get("extras", bench)
+    pg = extras.get("pose_graph_serving")
+    if not pg:
+        pytest.skip("latest BENCH capture predates the serving benchmark")
+    captured = float(pg["lockstep"]["graphs_per_s"])
+    with open(os.path.join(ROOT, "docs", "PERF.md")) as f:
+        perf = f.read()
+    m = re.search(r"~([0-9]+)\s*\n?\s*graphs/s", perf)
+    assert m, "PERF.md serving claim (~N graphs/s) not found"
+    claimed = float(m.group(1))
+    assert abs(claimed - captured) <= 0.25 * max(captured, 1e-9), (
+        claimed, captured)
