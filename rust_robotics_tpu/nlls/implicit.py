@@ -204,8 +204,12 @@ def chain_implicit_vjp(values, chain_meas, chain_info, loop_from, loop_to,
             retract_fn=retract_fn, tdim=tdim)
         bd = jnp.where(fixed[:, None, None], eye_t, b)
         w_inv = build_w_inv(loop_info, num_l, rdim, f_) if num_l else None
+        # spd=False: this is a ONE-shot solve with the UNDAMPED H — f32
+        # assembly error can make the capacitance numerically indefinite
+        # and the Cholesky path would NaN with no LM retry to save it
+        # (regression caught by dryrun program #8; LU stays accurate)
         w = chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to,
-                                 w_inv, u)
+                                 w_inv, u, spd=False)
         w = jnp.where(fixed[:, None], 0.0, w)
 
         # dL/dm = -(∂g/∂m)ᵀ w via one vjp of the tangent gradient in m

@@ -641,7 +641,7 @@ def build_w_inv(loop_info, num_l, rdim, dtype):
 
 def chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to, w_inv,
                          rhs_vec, w_blocks=None, refine=0,
-                         chunk_bytes=None, chunks=0):
+                         chunk_bytes=None, chunks=0, spd=True):
     """x = (T + U W Uᵀ)⁻¹ rhs_vec for an assembled chain system.
 
     bd [n,t,t] damped/fixed-adjusted diagonal blocks, c [n-1,t,t] super-
@@ -743,11 +743,23 @@ def chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to, w_inv,
         uty = jnp.moveaxis(s_parts, 0, 1).reshape(
             k_w, nc_edges * cs_edges * rdim)[:, :k_w]
     s = w_inv + uty
-    # S is SPD (W SPD, T SPD after damping) — Cholesky halves the dense
-    # K×K solve flops vs LU and is factored ONCE across refine passes.
-    # A non-SPD S from f32 round-off NaNs the step; the LM loop's
-    # finite-delta guard then damps up and retries.
-    s_cho = jax.scipy.linalg.cho_factor(s)
+    # S is SPD analytically (W SPD, T SPD after damping) — Cholesky
+    # halves the dense K×K solve flops vs LU and is factored ONCE across
+    # refine passes. But f32 ASSEMBLY error in Uᵀ T⁻¹ U can make the
+    # numerical S indefinite (measured: min eig -0.17 vs max 11 on an
+    # UNDAMPED 1k-pose chain), and then Cholesky NaNs. Inside the LM
+    # loop that is safe — the finite-delta guard damps up and retries
+    # (spd=True, the default). Callers that solve ONCE with no retry
+    # (the IFT backward pass, which uses the undamped H at the optimum)
+    # must pass spd=False for the robust LU path: on a nearly-SPD
+    # indefinite S, LU still returns the accurate solution where
+    # Cholesky returns NaN.
+    if spd:
+        s_cho = jax.scipy.linalg.cho_factor(s)
+        s_solve = lambda r: jax.scipy.linalg.cho_solve(s_cho, r)
+    else:
+        s_lu = jax.scipy.linalg.lu_factor(s)
+        s_solve = lambda r: jax.scipy.linalg.lu_solve(s_lu, r)
 
     def u_scatter(cb):
         """U v: [L, r] per-edge coefficients -> [n, t]."""
@@ -759,7 +771,7 @@ def chain_woodbury_solve(bd, c, jac_loop, loop_from, loop_to, w_inv,
     def solve_once(b_vec):
         y0 = t_apply(b_vec[..., None])[..., 0]
         rhs_c = ut_apply(y0[..., None])[:, 0]
-        coef = jax.scipy.linalg.cho_solve(s_cho, rhs_c)
+        coef = s_solve(rhs_c)
         # correction T⁻¹ (U coef) via one more ladder apply; U coef is
         # assembled sparsely from the edge Jacobians
         u_coef = u_scatter(coef.reshape(num_l, rdim))
